@@ -1,0 +1,98 @@
+"""Public functional API: the four deformable-convolution ops.
+
+Signatures mirror the reference's functional aliases
+(/root/reference/modulated_deform_conv.py:349-352 → Function.apply arg order
+:11, :95, :177, :264): positional (input, offset, [mask,] weight, bias),
+then stride/padding/dilation/groups/deformable_groups/in_step.
+
+All functions are jit-able, differentiable in every tensor argument
+(input/offset/mask/weight/bias), and accept NCHW/NCDHW layout for parity
+with the reference.  `impl` selects the compute path:
+
+* "xla"    — pure-JAX formulation (ops/core.py); always available.
+* "pallas" — fused Pallas TPU kernels (ops/pallas/); falls back to "xla"
+             where unsupported.
+* "auto"   — pallas on TPU when eligible, else xla.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from ..utils.config import DeformConvSpec
+from . import core
+
+_IMPLS = ("auto", "xla", "pallas")
+
+
+def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str):
+    if impl not in _IMPLS:
+        raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    spec.validate(x.shape, offset.shape, weight.shape,
+                  None if mask is None else mask.shape,
+                  None if bias is None else bias.shape)
+    if impl in ("auto", "pallas"):
+        from . import pallas as _pl
+        fn = _pl.maybe_pallas(x, offset, mask, weight, bias, spec,
+                              require=(impl == "pallas"))
+        if fn is not None:
+            return fn
+    return core.deform_conv_nd(x, offset, mask, weight, bias, spec)
+
+
+def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
+                  bias: Optional[jax.Array] = None, stride=1, padding=0,
+                  dilation=1, groups: int = 1, deformable_groups: int = 1,
+                  in_step: int = 64, *, impl: str = "auto") -> jax.Array:
+    """DCNv1 2D forward (reference deform_conv2d, modulated_deform_conv.py:349).
+
+    input (B,C,H,W); offset (B, dg*2*kh*kw, OH, OW); weight (O, C/g, kh, kw);
+    bias (O,) or None.  Returns (B, O, OH, OW).
+    """
+    spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
+                               groups, deformable_groups, in_step,
+                               modulated=False)
+    return _dispatch(input, offset, None, weight, bias, spec, impl)
+
+
+def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
+                            mask: jax.Array, weight: jax.Array,
+                            bias: Optional[jax.Array] = None, stride=1,
+                            padding=0, dilation=1, groups: int = 1,
+                            deformable_groups: int = 1, in_step: int = 64,
+                            *, impl: str = "auto") -> jax.Array:
+    """DCNv2 2D forward (reference modulated_deform_conv2d,
+    modulated_deform_conv.py:350).  mask (B, dg*kh*kw, OH, OW)."""
+    spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
+                               groups, deformable_groups, in_step,
+                               modulated=True)
+    return _dispatch(input, offset, mask, weight, bias, spec, impl)
+
+
+def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
+                  bias: Optional[jax.Array] = None, stride=1, padding=0,
+                  dilation=1, groups: int = 1, deformable_groups: int = 1,
+                  in_step: int = 64, *, impl: str = "auto") -> jax.Array:
+    """3D deformable conv (reference deform_conv3d, modulated_deform_conv.py:351).
+
+    input (B,C,H,W,L); offset (B, dg*3*kh*kw*kl, OH, OW, OL);
+    weight (O, C/g, kh, kw, kl)."""
+    spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
+                               groups, deformable_groups, in_step,
+                               modulated=False)
+    return _dispatch(input, offset, None, weight, bias, spec, impl)
+
+
+def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
+                            mask: jax.Array, weight: jax.Array,
+                            bias: Optional[jax.Array] = None, stride=1,
+                            padding=0, dilation=1, groups: int = 1,
+                            deformable_groups: int = 1, in_step: int = 64,
+                            *, impl: str = "auto") -> jax.Array:
+    """Modulated 3D deformable conv (reference modulated_deform_conv3d,
+    modulated_deform_conv.py:352).  mask (B, dg*kh*kw*kl, OH, OW, OL)."""
+    spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
+                               groups, deformable_groups, in_step,
+                               modulated=True)
+    return _dispatch(input, offset, mask, weight, bias, spec, impl)

@@ -1,0 +1,211 @@
+"""Core N-d deformable convolution in pure JAX/XLA (TPU-native formulation).
+
+This is the canonical implementation of all four ops of the reference
+(deform_conv2d / modulated_deform_conv2d / deform_conv3d /
+modulated_deform_conv3d — /root/reference/src/*.cu), re-designed for TPU:
+
+* channels-last internally (channels on the 128-lane axis),
+* the offset-driven bilinear/trilinear gather is a batched `take_along_axis`
+  over a flattened spatial axis (XLA gather, deterministic),
+* mask modulation and corner weighting are fused elementwise ops,
+* the grouped contraction is a single `dot_general` (einsum) that XLA tiles
+  onto the MXU — there is no host-side chunk loop and no atomics,
+* the backward pass is JAX autodiff of this forward: the VJP of the gather
+  is a deterministic scatter-add, and the analytic ∂bilinear/∂offset and
+  grad_mask = Σ grad_col·val forms (reference deformable_conv.cu:281-283,
+  mdeformable_conv.cu:315) fall out exactly.
+
+Semantics contract reproduced from the reference (SURVEY.md §2.4):
+
+* sample position per output point o, tap f=(i..), dim d:
+    pos_d = o_d*stride_d - pad_d + i_d*dilation_d + offset[d, f]
+  (reference deformable_conv.cu:76-77);
+* the whole tap is zeroed iff any pos_d <= -1 or pos_d >= S_d — the open
+  interval gate (deformable_conv.cu:78);
+* otherwise multilinear interpolation where out-of-image corners contribute
+  zero (per-corner guards, deformable_conv.cu:17-28);
+* modulated variants multiply the sampled value by a per-tap mask
+  (mdeformable_conv.cu:83);
+* input channel c uses deformable group c // (C / deformable_groups)
+  (deformable_conv.cu:58, 96);
+* offset channel layout per deformable group: ndim*f + d for tap f
+  (deformable_conv.cu:70-73; deformable_conv3d.cu:101-103);
+* grouped GEMM out[g] = W[g] @ cols[g] (deformable_conv.cu:174-180).
+"""
+from __future__ import annotations
+
+import itertools
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DeformConvSpec
+
+
+def _base_positions(spec: DeformConvSpec, out_sizes: Tuple[int, ...]) -> np.ndarray:
+    """Static sampling-grid base: (ndim, K, P) float32.
+
+    base[d, f, p] = o_d(p)*stride_d - pad_d + i_d(f)*dilation_d  — the
+    integer part of the sample position before the learned offset is added
+    (reference deformable_conv.cu:59-60, 76-77).  Computed with numpy so it
+    is a compile-time constant.
+    """
+    nd = spec.ndim
+    K = spec.tap_count
+    P = math.prod(out_sizes)
+    taps = np.stack(np.meshgrid(*[np.arange(k) for k in spec.kernel],
+                                indexing="ij"), axis=0).reshape(nd, K)
+    outs = np.stack(np.meshgrid(*[np.arange(o) for o in out_sizes],
+                                indexing="ij"), axis=0).reshape(nd, P)
+    base = np.empty((nd, K, P), np.float32)
+    for d in range(nd):
+        base[d] = (outs[d][None, :] * spec.stride[d] - spec.padding[d]
+                   + taps[d][:, None] * spec.dilation[d])
+    return base
+
+
+def deform_conv_columns(x: jax.Array, offset: jax.Array,
+                        mask: Optional[jax.Array],
+                        spec: DeformConvSpec) -> jax.Array:
+    """Offset-driven gather producing the (virtual) column tensor.
+
+    Args:
+      x:      (B, C, *S) input, NCHW-style layout at the API boundary.
+      offset: (B, dg*ndim*K, *OS) learned fractional offsets.
+      mask:   (B, dg*K, *OS) modulation scalars, or None.
+      spec:   static op configuration.
+
+    Returns:
+      columns (B, P, C, K) in fp32 sampling precision cast back to x.dtype,
+      where P = prod(OS).  Equivalent information to the reference's
+      [C*K, step*OH*OW] scratch (deformable_conv.cu:157-158) but laid out
+      channels-innermost-but-one for the TPU MXU contraction.
+    """
+    nd, dg = spec.ndim, spec.deformable_groups
+    B, C = x.shape[0], x.shape[1]
+    S = x.shape[2:]
+    OS = spec.out_sizes(S)
+    K, P = spec.tap_count, math.prod(OS)
+    Cg = C // dg
+    compute_dtype = x.dtype
+    # Sampling precision: fp32, or the input precision if higher (x64 mode).
+    acc = jnp.promote_types(jnp.float32, x.dtype)
+
+    # Sample positions: base (static) + offset, in fp32.
+    base = jnp.asarray(_base_positions(spec, OS)).transpose(1, 0, 2)  # (K, nd, P)
+    off = offset.reshape(B, dg, K, nd, P).astype(acc)
+    pos = base[None, None] + off                              # (B, dg, K, nd, P)
+
+    # Open-interval tap gate (-1, S_d) per dim (deformable_conv.cu:78).
+    gate = jnp.ones(pos.shape[:3] + pos.shape[4:], jnp.bool_)  # (B, dg, K, P)
+    for d in range(nd):
+        gate &= (pos[:, :, :, d] > -1.0) & (pos[:, :, :, d] < float(S[d]))
+
+    low = jnp.floor(pos)
+    frac = pos - low                                          # in [0, 1)
+    ilow = low.astype(jnp.int32)
+
+    # Flattened-spatial gather source: (B, S_flat, dg, Cg); channel c maps to
+    # deformable group c // Cg, preserved by this contiguous split
+    # (deformable_conv.cu:58).
+    s_flat = math.prod(S)
+    x_cl = jnp.moveaxis(x, 1, -1).reshape(B, s_flat, C).reshape(B, s_flat, dg, Cg)
+
+    spatial_stride = np.ones(nd, np.int64)
+    for d in range(nd - 2, -1, -1):
+        spatial_stride[d] = spatial_stride[d + 1] * S[d + 1]
+
+    val = jnp.zeros((B, K * P, dg, Cg), acc)
+    # Static loop over the 2^nd interpolation corners (4 bilinear / 8
+    # trilinear; reference deformable_conv.cu:17-28, deformable_conv3d.cu:21-45).
+    for corner in itertools.product((0, 1), repeat=nd):
+        w = jnp.ones(pos.shape[:3] + pos.shape[4:], acc)  # (B,dg,K,P)
+        valid = jnp.ones_like(w, jnp.bool_)
+        flat_idx = jnp.zeros_like(w, jnp.int32)
+        for d in range(nd):
+            idx_d = ilow[:, :, :, d] + corner[d]
+            valid &= (idx_d >= 0) & (idx_d <= S[d] - 1)
+            w = w * jnp.where(corner[d], frac[:, :, :, d], 1.0 - frac[:, :, :, d])
+            flat_idx = flat_idx + jnp.clip(idx_d, 0, S[d] - 1) * int(spatial_stride[d])
+        w = jnp.where(valid & gate, w, 0.0)
+        # (B, dg, K, P) -> (B, K*P, dg) gather indices.
+        gidx = flat_idx.transpose(0, 2, 3, 1).reshape(B, K * P, dg)
+        v = jnp.take_along_axis(x_cl, gidx[..., None], axis=1)    # (B,K*P,dg,Cg)
+        wq = w.transpose(0, 2, 3, 1).reshape(B, K * P, dg)[..., None]
+        val = val + wq * v.astype(acc)
+
+    if mask is not None:
+        m = mask.reshape(B, dg, K, P).astype(acc)
+        val = val * m.transpose(0, 2, 3, 1).reshape(B, K * P, dg)[..., None]
+
+    # (B, K*P, dg, Cg) -> (B, P, C, K)
+    cols = val.reshape(B, K, P, dg, Cg).transpose(0, 2, 3, 4, 1)
+    cols = cols.reshape(B, P, C, K)
+    return cols.astype(compute_dtype)
+
+
+def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
+                    weight: jax.Array, bias: Optional[jax.Array],
+                    spec: DeformConvSpec) -> jax.Array:
+    """One un-chunked forward pass: columns gather + grouped MXU contraction."""
+    B, C = x.shape[0], x.shape[1]
+    OS = spec.out_sizes(x.shape[2:])
+    P = math.prod(OS)
+    K, g = spec.tap_count, spec.groups
+    O = weight.shape[0]
+
+    cols = deform_conv_columns(x, offset, mask, spec)     # (B, P, C, K)
+    cols = cols.reshape(B, P, g, C // g, K)
+    w = weight.reshape(g, O // g, C // g, K).astype(cols.dtype)
+    # Grouped contraction == reference per-group addmm_ (deformable_conv.cu:176-180)
+    # expressed as one batched dot_general for the MXU.
+    acc = jnp.promote_types(jnp.float32, x.dtype)
+    out = jnp.einsum("bpgck,gock->bpgo", cols, w,
+                     preferred_element_type=acc)
+    out = out.reshape(B, P, O)
+    if bias is not None:
+        out = out + bias.astype(acc)[None, None, :]
+    out = out.astype(x.dtype)
+    out = out.reshape((B,) + OS + (O,))
+    return jnp.moveaxis(out, -1, 1)                        # (B, O, *OS)
+
+
+def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
+                   weight: jax.Array, bias: Optional[jax.Array],
+                   spec: DeformConvSpec) -> jax.Array:
+    """Full forward with optional `in_step` micro-batch chunking.
+
+    `in_step` is a pure memory knob: the effective chunk is
+    gcd(batch, in_step) (reference config.h:43-60) and results are
+    independent of it.  On TPU we express the chunk loop as `lax.map`
+    over reshaped batch chunks, bounding the live column/gather
+    intermediates the same way the reference bounds its `columns` scratch
+    (deformable_conv.cu:157-158).
+    """
+    B = x.shape[0]
+    step = math.gcd(B, spec.in_step) if spec.in_step > 0 else B
+    if step >= B or step <= 0:
+        return _deform_conv_nd(x, offset, mask, weight, bias, spec)
+    nb = B // step
+
+    def chunk(args):
+        xc, oc, mc = args
+        return _deform_conv_nd(xc, oc, mc, weight, bias, spec)
+
+    xs = x.reshape((nb, step) + x.shape[1:])
+    offs = offset.reshape((nb, step) + offset.shape[1:])
+    if mask is not None:
+        ms = mask.reshape((nb, step) + mask.shape[1:])
+    else:
+        ms = jnp.zeros((nb, step, 0), x.dtype)  # placeholder, unused
+
+    if mask is not None:
+        out = jax.lax.map(chunk, (xs, offs, ms))
+    else:
+        out = jax.lax.map(lambda a: _deform_conv_nd(a[0], a[1], None, weight,
+                                                    bias, spec), (xs, offs))
+    return out.reshape((B,) + out.shape[2:])
