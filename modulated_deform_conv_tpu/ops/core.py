@@ -70,7 +70,9 @@ def _base_positions(spec: DeformConvSpec, out_sizes: Tuple[int, ...]) -> np.ndar
 
 def deform_conv_columns(x: jax.Array, offset: jax.Array,
                         mask: Optional[jax.Array],
-                        spec: DeformConvSpec) -> jax.Array:
+                        spec: DeformConvSpec,
+                        out_sizes: Optional[Tuple[int, ...]] = None
+                        ) -> jax.Array:
     """Offset-driven gather producing the (virtual) column tensor.
 
     Args:
@@ -88,7 +90,9 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
     nd, dg = spec.ndim, spec.deformable_groups
     B, C = x.shape[0], x.shape[1]
     S = x.shape[2:]
-    OS = spec.out_sizes(S)
+    # out_sizes override: used by the sharding layer, whose halo-extended
+    # local blocks are larger than the local output grid implies.
+    OS = spec.out_sizes(S) if out_sizes is None else tuple(out_sizes)
     K, P = spec.tap_count, math.prod(OS)
     Cg = C // dg
     compute_dtype = x.dtype
@@ -150,15 +154,16 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
 
 def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                     weight: jax.Array, bias: Optional[jax.Array],
-                    spec: DeformConvSpec) -> jax.Array:
+                    spec: DeformConvSpec,
+                    out_sizes: Optional[Tuple[int, ...]] = None) -> jax.Array:
     """One un-chunked forward pass: columns gather + grouped MXU contraction."""
     B, C = x.shape[0], x.shape[1]
-    OS = spec.out_sizes(x.shape[2:])
+    OS = spec.out_sizes(x.shape[2:]) if out_sizes is None else tuple(out_sizes)
     P = math.prod(OS)
     K, g = spec.tap_count, spec.groups
     O = weight.shape[0]
 
-    cols = deform_conv_columns(x, offset, mask, spec)     # (B, P, C, K)
+    cols = deform_conv_columns(x, offset, mask, spec, OS)  # (B, P, C, K)
     cols = cols.reshape(B, P, g, C // g, K)
     w = weight.reshape(g, O // g, C // g, K).astype(cols.dtype)
     # Grouped contraction == reference per-group addmm_ (deformable_conv.cu:176-180)
@@ -176,7 +181,8 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
 
 def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                    weight: jax.Array, bias: Optional[jax.Array],
-                   spec: DeformConvSpec) -> jax.Array:
+                   spec: DeformConvSpec,
+                   out_sizes: Optional[Tuple[int, ...]] = None) -> jax.Array:
     """Full forward with optional `in_step` micro-batch chunking.
 
     `in_step` is a pure memory knob: the effective chunk is
@@ -189,12 +195,12 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     B = x.shape[0]
     step = math.gcd(B, spec.in_step) if spec.in_step > 0 else B
     if step >= B or step <= 0:
-        return _deform_conv_nd(x, offset, mask, weight, bias, spec)
+        return _deform_conv_nd(x, offset, mask, weight, bias, spec, out_sizes)
     nb = B // step
 
     def chunk(args):
         xc, oc, mc = args
-        return _deform_conv_nd(xc, oc, mc, weight, bias, spec)
+        return _deform_conv_nd(xc, oc, mc, weight, bias, spec, out_sizes)
 
     xs = x.reshape((nb, step) + x.shape[1:])
     offs = offset.reshape((nb, step) + offset.shape[1:])
@@ -207,5 +213,6 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
         out = jax.lax.map(chunk, (xs, offs, ms))
     else:
         out = jax.lax.map(lambda a: _deform_conv_nd(a[0], a[1], None, weight,
-                                                    bias, spec), (xs, offs))
+                                                    bias, spec, out_sizes),
+                          (xs, offs))
     return out.reshape((B,) + out.shape[2:])

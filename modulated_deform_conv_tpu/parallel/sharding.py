@@ -58,7 +58,10 @@ def make_mesh(shape: Sequence[int],
               devices=None) -> Mesh:
     """Build a named device mesh (defaults to all visible devices)."""
     if devices is None:
-        return jax.make_mesh(tuple(shape), tuple(axis_names))
+        n = math.prod(shape)
+        devices = jax.devices()[:n]
+        if len(devices) < n:
+            raise ValueError(f"need {n} devices, have {len(devices)}")
     devs = np.asarray(devices).reshape(tuple(shape))
     return Mesh(devs, tuple(axis_names))
 
@@ -87,17 +90,39 @@ def _halo_exchange(x_local: jax.Array, halo: int, axis: int,
     if halo == 0:
         return x_local
     ndim = x_local.ndim
-    sl_last = [slice(None)] * ndim
-    sl_last[axis] = slice(x_local.shape[axis] - halo, None)
-    sl_first = [slice(None)] * ndim
-    sl_first[axis] = slice(0, halo)
-    # from shard i-1: its bottom rows land as our top halo
-    up = jax.lax.ppermute(x_local[tuple(sl_last)], axis_name,
-                          [(j, j + 1) for j in range(n_shards - 1)])
-    # from shard i+1: its top rows land as our bottom halo
-    dn = jax.lax.ppermute(x_local[tuple(sl_first)], axis_name,
-                          [(j + 1, j) for j in range(n_shards - 1)])
-    return jnp.concatenate([up, x_local, dn], axis=axis)
+    hs = x_local.shape[axis]
+
+    def sl(a, b):
+        s = [slice(None)] * ndim
+        s[axis] = slice(a, b)
+        return tuple(s)
+
+    if halo <= hs:
+        # common case: single neighbor hop, exchange only the halo rows
+        up = jax.lax.ppermute(x_local[sl(hs - halo, None)], axis_name,
+                              [(j, j + 1) for j in range(n_shards - 1)])
+        dn = jax.lax.ppermute(x_local[sl(0, halo)], axis_name,
+                              [(j + 1, j) for j in range(n_shards - 1)])
+        return jnp.concatenate([up, x_local, dn], axis=axis)
+
+    # halo wider than a shard: multi-hop exchange of whole blocks
+    hops = min(-(-halo // hs), n_shards - 1)
+    blocks = []
+    for j in range(hops, 0, -1):      # blocks from shard i-j (zeros at edges)
+        blocks.append(jax.lax.ppermute(
+            x_local, axis_name, [(i, i + j) for i in range(n_shards - j)]))
+    blocks.append(x_local)
+    for j in range(1, hops + 1):      # blocks from shard i+j
+        blocks.append(jax.lax.ppermute(
+            x_local, axis_name, [(i + j, i) for i in range(n_shards - j)]))
+    ext = jnp.concatenate(blocks, axis=axis)
+    avail = hops * hs
+    if avail < halo:                  # remaining rows are past the ring: zeros
+        pad = [(0, 0)] * ndim
+        pad[axis] = (halo - avail, halo - avail)
+        ext = jnp.pad(ext, pad)
+        avail = halo
+    return ext[sl(avail - halo, avail + hs + halo)]
 
 
 def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
@@ -132,8 +157,11 @@ def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
         dilation=spec.dilation, groups=spec.groups,
         deformable_groups=spec.deformable_groups, in_step=spec.in_step,
         modulated=spec.modulated)
+    # The local output grid is fixed by the offset shard, not derivable from
+    # the halo-extended input block.
+    local_os = (out_h_local,) + tuple(off_l.shape[2 + 1:])
     return core.deform_conv_nd(x_ext, off_shifted, mask_l, weight, bias,
-                               local_spec)
+                               local_spec, out_sizes=local_os)
 
 
 def sharded_deform_conv(x: jax.Array, offset: jax.Array,
