@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Headline benchmark: DCNv2 3x3 fwd+bwd samples/s per chip (BASELINE.md
+config 2: B=8, 256->256ch, 56x56, groups=4, deformable_groups=4, bias).
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+
+vs_baseline is measured samples/s divided by the BASELINE.json target of
+70% of the chip's roofline samples/s, where the roofline is derived from a
+measured on-chip peak matmul rate in the benchmark dtype and the op's GEMM
+FLOPs (fwd + 2 backward GEMMs).  vs_baseline >= 1.0 means the north-star
+per-chip target is met.  Details go to benchmarks/last_run.json and stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure(fn, args, iters, warmup=2):
+    """Time a jitted fn that returns a SCALAR.
+
+    block_until_ready is not reliable on the experimental axon TPU tunnel
+    platform (returns before execution completes), so we force a host
+    readback of the scalar result — a true data dependency.
+    """
+    import numpy as np
+    for _ in range(warmup):
+        out = fn(*args)
+    float(np.asarray(out))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(np.asarray(out))
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
+def peak_matmul_flops(dtype, iters=8):
+    """Measured on-chip matmul rate (FLOP/s) in `dtype` — the roofline
+    denominator (hardware-adaptive, no hardcoded specs)."""
+    import jax
+    import jax.numpy as jnp
+    n = 4096
+    reps = 8  # chain matmuls so dispatch/readback overhead amortizes
+    a = jnp.full((n, n), 1.0 / n, dtype)  # ones/n: chain stays bounded
+    b = jnp.full((n, n), 1.0 / n, dtype)
+
+    @jax.jit
+    def f(a, b):
+        x = a
+        for _ in range(reps):
+            x = x @ b
+        return jnp.sum(x)
+
+    t, _ = measure(f, (a, b), iters)
+    return reps * 2 * n * n * n / t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer iters")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from modulated_deform_conv_tpu import modulated_deform_conv2d
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+
+    # BASELINE.md config 2
+    B, C, O, H, W, k, g, dg = 8, 256, 256, 56, 56, 3, 4, 4
+    K = k * k
+    OH, OW = H, W  # stride 1, pad 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, C, H, W)), dtype)
+    off = jnp.asarray(rng.uniform(-2, 2, (B, dg * 2 * K, OH, OW)), dtype)
+    mask = jnp.asarray(rng.uniform(0, 1, (B, dg * K, OH, OW)), dtype)
+    w = jnp.asarray(rng.standard_normal((O, C // g, k, k)) * 0.05, dtype)
+    bias = jnp.zeros((O,), dtype)
+
+    def loss(x, off, mask, w, bias):
+        out = modulated_deform_conv2d(x, off, mask, w, bias, stride=1,
+                                      padding=1, groups=g,
+                                      deformable_groups=dg, impl=args.impl)
+        return jnp.sum(out * out)
+
+    @jax.jit
+    def fwdbwd(x, off, mask, w, bias):
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, bias)
+        # scalar data dependency on every gradient (see measure())
+        return sum(jnp.sum(g) for g in grads)  # full-grad data dependency
+
+    fwd = jax.jit(loss)
+
+    iters = 5 if args.quick else 20
+    t_fwd, _ = measure(fwd, (x, off, mask, w, bias), iters)
+    t_fb, _ = measure(fwdbwd, (x, off, mask, w, bias), iters)
+    samples_s = B / t_fb
+    samples_s_fwd = B / t_fwd
+
+    # Roofline: GEMM FLOPs per sample (fwd GEMM + dgrad GEMM + wgrad GEMM).
+    gemm_flops_per_sample = 3 * 2 * OH * OW * O * (C // g) * K
+    peak = peak_matmul_flops(dtype, iters=3 if args.quick else 8)
+    roofline_samples_s = peak / gemm_flops_per_sample
+    target = 0.70 * roofline_samples_s
+    vs_baseline = samples_s / target
+
+    details = {
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+        "config": "DCNv2 B=8 256ch 56x56 g=dg=4 bias (BASELINE config 2)",
+        "dtype": args.dtype,
+        "impl": args.impl,
+        "fwd_ms": t_fwd * 1e3,
+        "fwdbwd_ms": t_fb * 1e3,
+        "samples_per_s_fwd": samples_s_fwd,
+        "samples_per_s_fwdbwd": samples_s,
+        "measured_peak_matmul_tflops": peak / 1e12,
+        "gemm_flops_per_sample": gemm_flops_per_sample,
+        "roofline_samples_per_s": roofline_samples_s,
+        "roofline_fraction": samples_s / roofline_samples_s,
+        "target_fraction": 0.70,
+    }
+    log(json.dumps(details, indent=2))
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/last_run.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "DCNv2 3x3 fwd+bwd samples/s/chip (B=8 256ch 56^2 g=dg=4)",
+        "value": round(samples_s, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,10 +10,11 @@ the reference does not have.
 """
 from .ops import (deform_conv2d, modulated_deform_conv2d, deform_conv3d,
                   modulated_deform_conv3d)
+from . import models, parallel, utils
 
 __version__ = "0.1.0"
 
 __all__ = [
     "deform_conv2d", "modulated_deform_conv2d", "deform_conv3d",
-    "modulated_deform_conv3d",
+    "modulated_deform_conv3d", "models", "parallel", "utils",
 ]
