@@ -45,6 +45,35 @@ def measure(fn, args, iters, warmup=2):
     return min(times), times
 
 
+def measure_amortized(step, args, iters, n_lo=2, n_hi=12):
+    """Per-step time of `step(*args) -> scalar`, net of dispatch overhead.
+
+    The axon tunnel adds ~30ms of fixed per-dispatch latency, which would
+    swamp any millisecond-scale kernel.  We build two jitted chains that run
+    `step` n_lo / n_hi times back-to-back on device (serialized through a
+    scalar carry so XLA cannot CSE the iterations) and report
+    (t_hi - t_lo) / (n_hi - n_lo): the marginal on-device cost of one step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def chain(n):
+        @jax.jit
+        def run(*a):
+            def body(carry, _):
+                # carry*1e-30 perturbs the first arg by ~nothing but forces
+                # a serial data dependency between iterations.
+                s = step(a[0] + carry * 1e-30, *a[1:])
+                return s.astype(a[0].dtype), ()
+            s, _ = jax.lax.scan(body, jnp.zeros((), a[0].dtype), None, length=n)
+            return s
+        return run
+
+    t_lo, _ = measure(chain(n_lo), args, iters)
+    t_hi, _ = measure(chain(n_hi), args, iters)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+
 def peak_matmul_flops(dtype, iters=8):
     """Measured on-chip matmul rate (FLOP/s) in `dtype` — the roofline
     denominator (hardware-adaptive, no hardcoded specs)."""
@@ -104,17 +133,13 @@ def main():
                                       deformable_groups=dg, impl=args.impl)
         return jnp.sum(out * out)
 
-    @jax.jit
-    def fwdbwd(x, off, mask, w, bias):
+    def fwdbwd_step(x, off, mask, w, bias):
         grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, bias)
-        # scalar data dependency on every gradient (see measure())
-        return sum(jnp.sum(g) for g in grads)  # full-grad data dependency
+        return sum(jnp.sum(g) for g in grads)
 
-    fwd = jax.jit(loss)
-
-    iters = 5 if args.quick else 20
-    t_fwd, _ = measure(fwd, (x, off, mask, w, bias), iters)
-    t_fb, _ = measure(fwdbwd, (x, off, mask, w, bias), iters)
+    iters = 3 if args.quick else 8
+    t_fwd = measure_amortized(loss, (x, off, mask, w, bias), iters)
+    t_fb = measure_amortized(fwdbwd_step, (x, off, mask, w, bias), iters)
     samples_s = B / t_fb
     samples_s_fwd = B / t_fwd
 
