@@ -26,7 +26,8 @@ from . import core
 _IMPLS = ("auto", "xla", "pallas")
 
 
-def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str):
+def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str,
+              precision: str = "tensorfloat32"):
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     spec.validate(x.shape, offset.shape, weight.shape,
@@ -35,7 +36,8 @@ def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str):
     if impl in ("auto", "pallas"):
         from . import pallas as _pl
         fn = _pl.maybe_pallas(x, offset, mask, weight, bias, spec,
-                              require=(impl == "pallas"))
+                              require=(impl == "pallas"),
+                              precision=precision)
         if fn is not None:
             return fn
     return core.deform_conv_nd(x, offset, mask, weight, bias, spec)
@@ -44,7 +46,8 @@ def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str):
 def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                   bias: Optional[jax.Array] = None, stride=1, padding=0,
                   dilation=1, groups: int = 1, deformable_groups: int = 1,
-                  in_step: int = 64, *, impl: str = "auto") -> jax.Array:
+                  in_step: int = 64, *, impl: str = "auto",
+                  precision: str = "tensorfloat32") -> jax.Array:
     """DCNv1 2D forward (reference deform_conv2d, modulated_deform_conv.py:349).
 
     input (B,C,H,W); offset (B, dg*2*kh*kw, OH, OW); weight (O, C/g, kh, kw);
@@ -53,7 +56,8 @@ def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=False)
-    return _dispatch(input, offset, None, weight, bias, spec, impl)
+    return _dispatch(input, offset, None, weight, bias, spec, impl,
+                 precision)
 
 
 def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
@@ -61,19 +65,22 @@ def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
                             bias: Optional[jax.Array] = None, stride=1,
                             padding=0, dilation=1, groups: int = 1,
                             deformable_groups: int = 1, in_step: int = 64,
-                            *, impl: str = "auto") -> jax.Array:
+                            *, impl: str = "auto",
+                            precision: str = "tensorfloat32") -> jax.Array:
     """DCNv2 2D forward (reference modulated_deform_conv2d,
     modulated_deform_conv.py:350).  mask (B, dg*kh*kw, OH, OW)."""
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=True)
-    return _dispatch(input, offset, mask, weight, bias, spec, impl)
+    return _dispatch(input, offset, mask, weight, bias, spec, impl,
+                 precision)
 
 
 def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                   bias: Optional[jax.Array] = None, stride=1, padding=0,
                   dilation=1, groups: int = 1, deformable_groups: int = 1,
-                  in_step: int = 64, *, impl: str = "auto") -> jax.Array:
+                  in_step: int = 64, *, impl: str = "auto",
+                  precision: str = "tensorfloat32") -> jax.Array:
     """3D deformable conv (reference deform_conv3d, modulated_deform_conv.py:351).
 
     input (B,C,H,W,L); offset (B, dg*3*kh*kw*kl, OH, OW, OL);
@@ -81,7 +88,8 @@ def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=False)
-    return _dispatch(input, offset, None, weight, bias, spec, impl)
+    return _dispatch(input, offset, None, weight, bias, spec, impl,
+                 precision)
 
 
 def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
@@ -89,10 +97,12 @@ def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
                             bias: Optional[jax.Array] = None, stride=1,
                             padding=0, dilation=1, groups: int = 1,
                             deformable_groups: int = 1, in_step: int = 64,
-                            *, impl: str = "auto") -> jax.Array:
+                            *, impl: str = "auto",
+                            precision: str = "tensorfloat32") -> jax.Array:
     """Modulated 3D deformable conv (reference modulated_deform_conv3d,
     modulated_deform_conv.py:352).  mask (B, dg*kh*kw*kl, OH, OW, OL)."""
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=True)
-    return _dispatch(input, offset, mask, weight, bias, spec, impl)
+    return _dispatch(input, offset, mask, weight, bias, spec, impl,
+                 precision)

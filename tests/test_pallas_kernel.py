@@ -1,0 +1,165 @@
+"""Fused Pallas kernel (ops/pallas/gathermm2d.py) vs the XLA oracle path.
+
+Runs in Pallas interpreter mode on CPU (see gathermm2d._interpret), so
+shapes are kept tiny.  The same kernel compiles natively on TPU; bench.py
+and /tmp drive scripts exercise that side.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import modulated_deform_conv_tpu as mdc
+from modulated_deform_conv_tpu.ops.pallas import gathermm2d
+from modulated_deform_conv_tpu.utils.config import DeformConvSpec
+
+RNG = np.random.default_rng(42)
+
+
+def _mk(B, C, H, W, k, g, dg, stride, padding, dilation, O=None,
+        off_scale=3.0, modulated=True):
+    O = O or C
+    K = k * k
+    spec = DeformConvSpec.make(2, (k, k), stride, padding, dilation, g, dg,
+                               0, modulated=modulated)
+    OH, OW = spec.out_sizes((H, W))
+    x = jnp.asarray(RNG.standard_normal((B, C, H, W)), jnp.float32)
+    off = jnp.asarray(RNG.uniform(-off_scale, off_scale,
+                                  (B, dg * 2 * K, OH, OW)), jnp.float32)
+    mask = (jnp.asarray(RNG.uniform(0, 1, (B, dg * K, OH, OW)), jnp.float32)
+            if modulated else None)
+    w = jnp.asarray(RNG.standard_normal((O, C // g, k, k)), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal((O,)), jnp.float32)
+    kw = dict(stride=stride, padding=padding, dilation=dilation, groups=g,
+              deformable_groups=dg)
+    return x, off, mask, w, b, kw
+
+
+def _run(x, off, mask, w, b, kw, impl, precision="float32"):
+    if mask is None:
+        fn = lambda *a: mdc.deform_conv2d(*a, **kw, impl=impl,
+                                          precision=precision)
+        args = (x, off, w, b)
+    else:
+        fn = lambda *a: mdc.modulated_deform_conv2d(*a, **kw, impl=impl,
+                                                    precision=precision)
+        args = (x, off, mask, w, b)
+    return jax.jit(fn)(*args)
+
+
+CONFIGS = [
+    # B, C, H, W, k, g, dg, stride, padding, dilation
+    (2, 16, 9, 8, 3, 1, 1, 1, 1, 1),
+    (1, 16, 13, 9, 3, 2, 2, 2, 2, 2),   # odd sizes, OH % T != 0
+    (2, 8, 8, 8, 1, 1, 1, 1, 0, 1),     # 1x1 kernel
+    (1, 16, 10, 7, 2, 1, 2, 2, 1, 1),   # even kernel
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+@pytest.mark.parametrize("modulated", [True, False])
+def test_forward_matches_xla(cfg, modulated):
+    x, off, mask, w, b, kw = _mk(*cfg, modulated=modulated)
+    got = _run(x, off, mask, w, b, kw, "pallas")
+    want = _run(x, off, mask, w, b, kw, "xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla():
+    x, off, mask, w, b, kw = _mk(*CONFIGS[1])
+
+    def loss(impl):
+        def f(x, off, mask, w, b):
+            o = mdc.modulated_deform_conv2d(x, off, mask, w, b, **kw,
+                                            impl=impl, precision="float32")
+            return jnp.sum(o * jnp.cos(0.1 * o))
+        return f
+
+    gp = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3, 4)))(
+        x, off, mask, w, b)
+    gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3, 4)))(
+        x, off, mask, w, b)
+    for got, want, name in zip(gp, gx, ["x", "offset", "mask", "w", "b"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_gradients_plain_op():
+    x, off, _, w, b, kw = _mk(*CONFIGS[0], modulated=False)
+
+    def loss(impl):
+        def f(x, off, w, b):
+            o = mdc.deform_conv2d(x, off, w, b, **kw, impl=impl,
+                                  precision="float32")
+            return jnp.sum(o * o)
+        return f
+
+    gp = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3)))(x, off, w, b)
+    gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3)))(x, off, w, b)
+    for got, want, name in zip(gp, gx, ["x", "offset", "w", "b"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_extreme_offsets_zero_outside():
+    """Samples far outside the plane contribute exactly zero (open-interval
+    gate, reference deformable_conv.cu:78) — and huge offsets stay finite
+    through the dynamic chunk-bound logic."""
+    x, off, mask, w, b, kw = _mk(*CONFIGS[0])
+    off = off.at[:, 0].set(1e6).at[:, 1].set(-1e6)
+    got = _run(x, off, mask, w, b, kw, "pallas")
+    want = _run(x, off, mask, w, b, kw, "xla")
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_integer_positions_exact():
+    """Zero offsets -> plain convolution; interpolation hits grid points
+    exactly (fh = fw = 0)."""
+    B, C, H, W, k = 1, 8, 5, 5, 3
+    K = k * k
+    x = jnp.ones((B, C, H, W), jnp.float32)
+    off = jnp.zeros((B, 2 * K, H, W), jnp.float32)
+    mask = jnp.ones((B, K, H, W), jnp.float32)
+    w = jnp.ones((1, C, k, k), jnp.float32)
+    out = jax.jit(lambda *a: mdc.modulated_deform_conv2d(
+        *a, stride=1, padding=1, impl="pallas", precision="float32"))(
+        x, off, mask, w)
+    o = np.asarray(out)[0, 0]
+    assert o[2, 2] == pytest.approx(9 * C)
+    assert o[0, 2] == pytest.approx(6 * C)
+    assert o[0, 0] == pytest.approx(4 * C)
+
+
+def test_precision_modes_close():
+    x, off, mask, w, b, kw = _mk(*CONFIGS[0])
+    ref = _run(x, off, mask, w, b, kw, "xla")
+    scale = float(jnp.max(jnp.abs(ref)))
+    for prec in gathermm2d.PRECISIONS:
+        got = _run(x, off, mask, w, b, kw, "pallas", precision=prec)
+        rel = float(jnp.max(jnp.abs(got - ref))) / scale
+        assert rel < (1e-5 if prec == "float32" else 3e-2), (prec, rel)
+
+
+def test_ineligible_configs_fall_back():
+    # 3D is not yet pallas-eligible; impl="auto" must still work.
+    B, C, D, H, W, k = 1, 8, 4, 5, 5, 2
+    K = k ** 3
+    x = jnp.ones((B, C, D, H, W), jnp.float32)
+    spec_os = (D - 1, H - 1, W - 1)
+    off = jnp.zeros((B, 3 * K) + spec_os, jnp.float32)
+    w = jnp.ones((4, C, k, k, k), jnp.float32)
+    out = jax.jit(lambda *a: mdc.deform_conv3d(*a, impl="auto"))(x, off, w)
+    assert out.shape == (B, 4) + spec_os
+    with pytest.raises(NotImplementedError):
+        mdc.deform_conv3d(x, off, w, impl="pallas")
+
+
+def test_eligibility_reasons():
+    spec = DeformConvSpec.make(2, (3, 3), 1, 1, 1, 1, 1, 0, modulated=True)
+    x = jnp.zeros((1, 16, 8, 8), jnp.float32)
+    assert gathermm2d.ineligible_reason(x, spec) is None
+    xhuge = jnp.zeros((1, 16, 2048, 2048), jnp.float32)
+    assert gathermm2d.ineligible_reason(xhuge, spec) is not None
