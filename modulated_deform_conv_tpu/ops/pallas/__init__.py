@@ -11,7 +11,7 @@ from typing import Optional
 import jax
 
 from ...utils.config import DeformConvSpec
-from .gathermm2d import PRECISIONS  # noqa: F401  (public)
+from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
@@ -22,16 +22,16 @@ def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
     With require=True (impl="pallas"), raises instead of silently falling
     back when the config is ineligible.
     """
-    from . import gathermm2d
-    reason = gathermm2d.ineligible_reason(x, spec)
+    from . import gathermm
+    reason = gathermm.ineligible_reason(x, spec)
     if reason is None and not require and jax.default_backend() != "tpu":
         # Off-TPU the kernel only runs in the (slow) interpreter; "auto"
         # prefers the compiled XLA path there.  impl="pallas" still forces
         # the kernel (interpret mode) for correctness testing.
         reason = "auto prefers XLA off-TPU"
     if reason is None:
-        return gathermm2d.deform_conv2d_fused(x, offset, mask, weight, bias,
-                                              spec, precision)
+        return gathermm.deform_conv_fused(x, offset, mask, weight, bias,
+                                          spec, precision)
     if require:
         raise NotImplementedError(
             f"pallas path unavailable for this config: {reason}")

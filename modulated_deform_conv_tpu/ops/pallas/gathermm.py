@@ -1,0 +1,626 @@
+"""Fused N-d deformable-columns Pallas TPU kernel (structured-sparse MXU).
+
+Covers the 2D (bilinear) and 3D (trilinear) deformable convolutions of the
+reference (deformable_conv.cu:36-85, mdeformable_conv.cu:37-87,
+deformable_conv3d.cu:54-119, mdeformable_conv3d.cu:54-127).  The reference
+launches one CUDA thread per column element; a TPU-native design instead
+expresses the whole gather as a matmul against a structured-sparse matrix:
+
+    cols[kp, c] = sum_q A[q, kp] * x[q, c]
+
+with q over the flattened input plane of one (batch, deformable-group) and
+A holding the 2^nd multilinear corner weights.  A is separable per spatial
+dim:
+
+    A[q, kp] = prod_d F_d[q_d, kp]
+    F_0 = (q_0 == l_0) * svl + (q_0 == l_0 + 1) * svh     (mask+gate folded)
+    F_d = (q_d == l_d) * (1 - f_d) + (q_d == l_d + 1) * f_d   (d > 0)
+
+where l_d = floor(sample position), f_d the fractional part.  Factors are
+built on the VPU from iota comparisons; the contraction runs on the MXU.
+The comparisons reproduce the reference's edge semantics exactly: the open
+interval tap gate pos in (-1, S) (deformable_conv.cu:78) folds into
+svl/svh, and out-of-image corners contribute zero (deformable_conv.cu:17-28,
+deformable_conv3d.cu:21-45) because an out-of-range l_d never matches the
+[0, S_d) iota.
+
+The input plane is processed in flat chunks of SCH positions; per output
+tile only chunks inside data-dependent [lo, hi) bounds (computed from the
+actual offsets, scalar-prefetched) are visited, so cost tracks the true
+receptive field for small learned offsets while arbitrary offsets remain
+correct.  When K*P_tile exceeds the lane budget (3D 3x3x3 kernels), taps
+are split along the leading kernel axis and processed in an inner loop.
+
+The backward pass reuses the same factors with transposed contractions —
+grad_x = A @ gcols on the MXU (replacing the reference's atomicAdd scatter,
+deformable_conv.cu:268-283: deterministic, bitwise reproducible), and
+grad_offset / grad_mask from the correlation matrix M = x @ gcols^T reduced
+against the analytic dA/dpos factors (deformable_conv.cu:281-283,
+mdeformable_conv.cu:295-315, deformable_conv3d.cu:380-385).
+
+Precision modes: "float32" (HIGHEST MXU passes, ~1e-7 of the f32 oracle),
+"tensorfloat32" (f32 storage, one bf16 MXU pass — XLA's DEFAULT, like
+torch's TF32 conv default), "bfloat16".
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.config import DeformConvSpec
+
+PRECISIONS = ("float32", "tensorfloat32", "bfloat16")
+
+# VMEM budgets (bytes) for the tiling heuristic / eligibility gate.
+_A_CHUNK_BUDGET = 2 * 1024 * 1024       # one (SCH, KP) f32 A-chunk
+_X_PLANE_BUDGET = 10 * 1024 * 1024      # one (S_pad, Cg) input plane
+_VMEM_LIMIT = 100 * 1024 * 1024         # v5e has 128MB physical VMEM
+_LANE_BUDGET = 4608                     # target KP lanes per matmul
+_PT_OVERRIDE = 0                        # nonzero: force P_tile (tuning)
+
+
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+class _Plan:
+    """Static tiling plan for one op configuration."""
+
+    def __init__(self, spec: DeformConvSpec, B: int, C: int, S, OS, dtype):
+        self.nd = spec.ndim
+        self.B, self.C = B, C
+        self.S = tuple(S)                       # input spatial sizes
+        self.OS = tuple(OS)                     # output spatial sizes
+        self.dg = spec.deformable_groups
+        self.Cg = C // self.dg
+        self.K = spec.tap_count
+        self.kernel0_extent = (spec.kernel[0] - 1) * spec.dilation[0] + 1
+        self.P = math.prod(self.OS)
+        self.Sflat = math.prod(self.S)
+        self.dtype = dtype
+
+        # Row-stride (flat) per spatial dim.
+        st = [1] * self.nd
+        for d in range(self.nd - 2, -1, -1):
+            st[d] = st[d + 1] * self.S[d + 1]
+        self.qstride = tuple(st)
+
+        # Tap split: prefer a large P_tile (MXU efficiency, fewer tiles)
+        # by splitting taps along the leading kernel axis when K*P_tile
+        # would blow the lane budget.  Tap groups also get tighter chunk
+        # bounds (taps in a group share the leading-dim kernel index).
+        divisors = [d for d in range(1, self.K + 1) if self.K % d == 0]
+        pmax = -(-self.P // 8) * 8
+        run = self.OS[-1]                 # contiguous output run length
+        cands = set()
+        for tgt in (512, 384, 256, 128):
+            cands.add(min(tgt, pmax))
+            # row-aligned candidate: multiple of the last output dim near
+            # tgt (tighter leading-dim windows -> fewer input chunks)
+            if run <= tgt:
+                cands.add(min(max(tgt // run, 1) * run, pmax))
+        halo = self.kernel0_extent + 4    # leading-dim window slack guess
+        best = None
+        for pt in sorted(cands):
+            pt = -(-pt // 8) * 8          # sublane-align cols block
+            if _PT_OVERRIDE and pt != _PT_OVERRIDE:
+                continue
+            for k0 in divisors:
+                ki = self.K // k0
+                if ki * pt > _LANE_BUDGET:
+                    continue
+                lanes = -(-ki * pt // 128) * 128
+                rows = pt / run + (0 if pt % run == 0 else 1)
+                # A-work per output position plus a per-tile fixed cost
+                # (pipeline/bounds/acc overhead), calibrated on v5e.
+                cost = (lanes * (rows + halo) + 8192.0) / pt
+                if best is None or cost < best[0]:
+                    best = (cost, k0, ki, pt)
+                break                      # smallest k0 that fits
+        if best is None:                   # override matched nothing: retry
+            for k0 in divisors:
+                ki = self.K // k0
+                if ki * (_PT_OVERRIDE or 128) <= _LANE_BUDGET:
+                    best = (0, k0, ki, _PT_OVERRIDE or 128)
+                    break
+        _, k0, ki, pt = best
+        self.PT = pt
+        self.K0, self.KI = k0, ki
+        self.KP = self.KI * self.PT
+        self.NT = -(-self.P // self.PT)
+        self.PPAD = self.NT * self.PT
+
+        # Input chunk: ~1/6 of the expected per-tile input window (chunk
+        # bounds quantize to SCH, so smaller chunks track the true window
+        # more tightly; below ~window/8 the per-chunk fixed cost dominates
+        # — measured on v5e), capped by the f32 A-chunk VMEM budget, and
+        # aligned to the last spatial dim's period when affordable so
+        # periodic A-factors hoist out of the chunk loop.
+        in_row = self.qstride[0] if self.nd > 1 else 1   # input row size
+        win_rows = (self.PT / run) * spec.stride[0] + 1 + halo
+        window = int(win_rows * in_row)
+        sch = max(8, min(int(window / 6), _A_CHUNK_BUDGET // (self.KP * 4))
+                  // 8 * 8)
+        last = self.S[-1]
+        unit = (last * 8) // math.gcd(last, 8)   # lcm(S_last, 8)
+        if unit <= 2 * sch:
+            sch = max(unit, sch // unit * unit)
+        self.SCH = min(sch, -(-self.Sflat // 8) * 8)
+        self.SPAD = -(-self.Sflat // self.SCH) * self.SCH
+        self.NCH = self.SPAD // self.SCH
+        # Dims whose factor pattern repeats every SCH (hoistable): dim d's
+        # pattern has period S[d] * qstride[d] (= qstride[d-1]).
+        self.hoist = [False] + [self.SCH % (self.S[d] * self.qstride_of(d))
+                                == 0 for d in range(1, self.nd)]
+
+        # Factor rows in pr: 5 + 2*(nd-1), padded to a sublane multiple.
+        self.NR = 8 if self.nd == 2 else 16
+
+    def qstride_of(self, d):
+        return self.qstride[d]
+
+    def ineligible_reason(self) -> Optional[str]:
+        if self.KP > 2 * _LANE_BUDGET:
+            return "K*P_tile too large for the lane budget"
+        if self.SCH * self.KP * 4 > 2 * _A_CHUNK_BUDGET:
+            return "A chunk exceeds VMEM budget"
+        if self.SPAD * self.Cg * 4 > _X_PLANE_BUDGET:
+            return "input plane per (batch, dg) exceeds VMEM budget"
+        if self.Cg < 8:
+            return "too few channels per deformable group for the MXU"
+        return None
+
+
+def _resolve(precision: str):
+    if precision == "float32":
+        return jnp.float32, jax.lax.Precision.HIGHEST
+    if precision == "tensorfloat32":
+        return jnp.float32, jax.lax.Precision.DEFAULT
+    if precision == "bfloat16":
+        return jnp.bfloat16, jax.lax.Precision.DEFAULT
+    raise ValueError(f"precision must be one of {PRECISIONS}")
+
+
+def _base_grid(spec: DeformConvSpec, OS) -> np.ndarray:
+    """(nd, K, P) static sample-grid base: o*stride - pad + i*dilation
+    (reference deformable_conv.cu:76-77, deformable_conv3d.cu:101-103)."""
+    nd = spec.ndim
+    K = spec.tap_count
+    P = math.prod(OS)
+    taps = np.stack(np.meshgrid(*[np.arange(k) for k in spec.kernel],
+                                indexing="ij"), 0).reshape(nd, K)
+    outs = np.stack(np.meshgrid(*[np.arange(o) for o in OS],
+                                indexing="ij"), 0).reshape(nd, P)
+    base = np.empty((nd, K, P), np.float32)
+    for d in range(nd):
+        base[d] = (outs[d][None] * spec.stride[d] - spec.padding[d]
+                   + taps[d][:, None] * spec.dilation[d])
+    return base
+
+
+# pr row indices (16 rows; 2D uses the first 7).
+_R_L0, _R_SVL, _R_SVH, _R_GL, _R_GH = 0, 1, 2, 3, 4
+
+
+def _row_l(d):   # low-corner index row for dim d >= 1
+    return 5 + 2 * (d - 1)
+
+
+def _row_f(d):   # fraction row for dim d >= 1
+    return 6 + 2 * (d - 1)
+
+
+def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan):
+    """XLA-side prep.
+
+    Returns:
+      xp  (B, dg, SPAD, Cg)          channels-last plane, zero-padded
+      pr  (B, dg, NT, K0, NR, KP)    f32 factor rows (see _R_* / _row_*)
+      bnd (B, dg, NT, K0, 2)         i32 [lo, hi) flat-chunk bounds
+    """
+    p = plan
+    nd, B, dg, K = p.nd, p.B, p.dg, p.K
+    base = jnp.asarray(_base_grid(spec, p.OS))            # (nd, K, P)
+
+    off = offset.reshape((B, dg, K, nd) + p.OS).reshape(
+        B, dg, K, nd, p.P).astype(jnp.float32)
+    pos = base[None, None] + jnp.moveaxis(off, 3, 2)      # (B, dg, nd, K, P)
+
+    gate = jnp.ones((B, dg, K, p.P), jnp.bool_)
+    for d in range(nd):
+        gate &= (pos[:, :, d] > -1.0) & (pos[:, :, d] < float(p.S[d]))
+    low = jnp.floor(pos)
+    frac = pos - low
+
+    gatef = gate.astype(jnp.float32)
+    gl = gatef * (1.0 - frac[:, :, 0])
+    gh = gatef * frac[:, :, 0]
+    if mask is not None:
+        m = mask.reshape(B, dg, K, p.P).astype(jnp.float32)
+        svl, svh = gl * m, gh * m
+    else:
+        svl, svh = gl, gh
+
+    rows = [low[:, :, 0], svl, svh, gl, gh]
+    for d in range(1, nd):
+        rows += [low[:, :, d], frac[:, :, d]]
+    rows += [jnp.zeros_like(svl)] * (p.NR - len(rows))
+    pr = jnp.stack(rows, axis=2)                          # (B, dg, NR, K, P)
+
+    # -> (B, dg, NT, K0, NR, KI*PT): pad P, split taps along leading axis.
+    pr = jnp.pad(pr, ((0, 0),) * 4 + ((0, p.PPAD - p.P),))
+    pr = pr.reshape(B, dg, p.NR, p.K0, p.KI, p.NT, p.PT)
+    pr = pr.transpose(0, 1, 5, 3, 2, 4, 6).reshape(
+        B, dg, p.NT, p.K0, p.NR, p.KP)
+
+    # Flat-q chunk bounds per (tile, tap-group): q = sum_d l_d * qstride_d
+    # lower-bounds any matched corner; + sum(qstride) upper-bounds it.
+    act = (svl != 0.0) | (svh != 0.0)                     # (B, dg, K, P)
+    qlow = sum(low[:, :, d] * float(p.qstride[d]) for d in range(nd))
+    big = jnp.float32(3e38)
+    qmin = jnp.where(act, qlow, big)
+    qmax = jnp.where(act, qlow + float(sum(p.qstride)), -big)
+    qmin = jnp.pad(qmin.reshape(B, dg, p.K0, p.KI, p.P),
+                   ((0, 0),) * 4 + ((0, p.PPAD - p.P),), constant_values=3e38)
+    qmax = jnp.pad(qmax.reshape(B, dg, p.K0, p.KI, p.P),
+                   ((0, 0),) * 4 + ((0, p.PPAD - p.P),),
+                   constant_values=-3e38)
+    qmin = qmin.reshape(B, dg, p.K0, p.KI, p.NT, p.PT).min(axis=(3, 5))
+    qmax = qmax.reshape(B, dg, p.K0, p.KI, p.NT, p.PT).max(axis=(3, 5))
+    qmin = qmin.transpose(0, 1, 3, 2)                     # (B, dg, NT, K0)
+    qmax = qmax.transpose(0, 1, 3, 2)
+    lo = (jnp.clip(qmin, 0.0, float(p.SPAD - 1)).astype(jnp.int32) // p.SCH)
+    hi = (jnp.clip(qmax, 0.0, float(p.SPAD - 1)).astype(jnp.int32)
+          // p.SCH) + 1
+    empty = qmax < -1e38
+    lo = jnp.where(empty, 0, lo)
+    hi = jnp.where(empty, 0, jnp.minimum(hi, p.NCH))
+    bnd = jnp.stack([lo, hi], axis=-1)
+
+    x_cl = x.reshape(B, dg, p.Cg, p.Sflat)
+    x_cl = jnp.moveaxis(x_cl, 2, 3)
+    x_cl = jnp.pad(x_cl, ((0, 0), (0, 0), (0, p.SPAD - p.Sflat), (0, 0)))
+    return x_cl, pr, bnd
+
+
+def _factor0(pr_k, q0):
+    """Leading-dim factor with mask+gate folded (and its grad variants)."""
+    l0 = pr_k[_R_L0:_R_L0 + 1]
+    ev0 = jnp.where(q0 == l0, 1.0, 0.0)
+    ev1 = jnp.where(q0 == l0 + 1.0, 1.0, 0.0)
+    return ev0, ev1
+
+
+def _factor_d(pr_k, qd, d):
+    ld = pr_k[_row_l(d):_row_l(d) + 1]
+    fd = pr_k[_row_f(d):_row_f(d) + 1]
+    e0 = jnp.where(qd == ld, 1.0, 0.0)
+    e1 = jnp.where(qd == ld + 1.0, 1.0, 0.0)
+    F = e0 * (1.0 - fd) + e1 * fd
+    dF = e1 - e0
+    return F, dF
+
+
+def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *, plan, cd,
+                prec):
+    p = plan
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
+
+    for kg in range(p.K0):
+        pr_k = pr_ref[0, 0, 0, kg]
+        svl = pr_k[_R_SVL:_R_SVL + 1]
+        svh = pr_k[_R_SVH:_R_SVH + 1]
+        lo = bnd_ref[b, dgi, t, kg, 0]
+        hi = bnd_ref[b, dgi, t, kg, 1]
+        # Dims whose pattern period divides SCH are chunk-invariant.
+        hoisted = {}
+        for d in range(1, p.nd):
+            if p.hoist[d]:
+                qd = ((qi // p.qstride[d]) % p.S[d]).astype(jnp.float32)
+                hoisted[d] = _factor_d(pr_k, qd, d)[0]
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, hoisted=hoisted):
+            qflat = qi + ci * p.SCH
+            q0 = (qflat // p.qstride[0]).astype(jnp.float32)
+            ev0, ev1 = _factor0(pr_k, q0)
+            A = ev0 * svl + ev1 * svh
+            for d in range(1, p.nd):
+                if d in hoisted:
+                    A = A * hoisted[d]
+                else:
+                    qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
+                        jnp.float32)
+                    A = A * _factor_d(pr_k, qd, d)[0]
+            xc = x_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+            acc_ref[...] += jax.lax.dot_general(
+                A.astype(cd), xc, (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+        cols_ref[0, 0, 0, kg] = acc_ref[...].astype(cols_ref.dtype)
+
+
+def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
+                sh_ref, *, plan, cd, prec):
+    """grad_x via A @ gcols (MXU, deterministic); grad_offset/grad_mask via
+    M = x @ gcols^T reduced against analytic dA/dpos factors."""
+    p = plan
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
+
+    @pl.when(t == 0)
+    def _():
+        gx_ref[...] = jnp.zeros_like(gx_ref)
+
+    for kg in range(p.K0):
+        pr_k = pr_ref[0, 0, 0, kg]
+        svl = pr_k[_R_SVL:_R_SVL + 1]
+        svh = pr_k[_R_SVH:_R_SVH + 1]
+        gl = pr_k[_R_GL:_R_GL + 1]
+        gh = pr_k[_R_GH:_R_GH + 1]
+        gcols = gcols_ref[0, 0, 0, kg].astype(cd)       # (KP, Cg)
+        lo = bnd_ref[b, dgi, t, kg, 0]
+        hi = bnd_ref[b, dgi, t, kg, 1]
+        hoisted = {}
+        for d in range(1, p.nd):
+            if p.hoist[d]:
+                qd = ((qi // p.qstride[d]) % p.S[d]).astype(jnp.float32)
+                hoisted[d] = _factor_d(pr_k, qd, d)
+        sh_ref[...] = jnp.zeros_like(sh_ref)
+
+        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, gl=gl, gh=gh,
+                 gcols=gcols, hoisted=hoisted):
+            qflat = qi + ci * p.SCH
+            q0 = (qflat // p.qstride[0]).astype(jnp.float32)
+            ev0, ev1 = _factor0(pr_k, q0)
+            F0 = ev0 * svl + ev1 * svh
+            dF0 = (ev1 - ev0) * (svl + svh)
+            F0g = ev0 * gl + ev1 * gh                   # unmasked, gated
+            Fs, dFs = [F0], [dF0]
+            for d in range(1, p.nd):
+                if d in hoisted:
+                    Fd, dFd = hoisted[d]
+                else:
+                    qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
+                        jnp.float32)
+                    Fd, dFd = _factor_d(pr_k, qd, d)
+                Fs.append(Fd)
+                dFs.append(dFd)
+            Frest = Fs[1]
+            for d in range(2, p.nd):
+                Frest = Frest * Fs[d]
+            A = F0 * Frest
+
+            gxc = jax.lax.dot_general(
+                A.astype(cd), gcols, (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            sl = pl.ds(ci * p.SCH, p.SCH)
+            gx_ref[0, 0, sl, :] += gxc
+
+            xc = x_ref[0, 0, sl, :].astype(cd)
+            M = jax.lax.dot_general(
+                xc, gcols, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+
+            # d/dpos_0 and grad_mask share Frest * M.
+            t0 = Frest * M
+            sh_ref[0:1] += jnp.sum(dF0 * t0, axis=0, keepdims=True)
+            sh_ref[p.nd:p.nd + 1] += jnp.sum(
+                F0g * t0, axis=0, keepdims=True)
+            for d in range(1, p.nd):
+                prod = F0 * dFs[d]
+                for e in range(1, p.nd):
+                    if e != d:
+                        prod = prod * Fs[e]
+                sh_ref[d:d + 1] += jnp.sum(prod * M, axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+        gs_ref[0, 0, 0, kg] = sh_ref[...]
+
+
+def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
+    p = plan
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p.B, p.dg, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p.SPAD, p.Cg),
+                         lambda b, d, t, *_: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, p.K0, p.KP, p.Cg),
+                               lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((p.KP, p.Cg), jnp.float32)],
+    )
+    cols_dtype = jnp.float32 if cd == jnp.float32 else jnp.bfloat16
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, plan=p, cd=cd, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (p.B, p.dg, p.NT, p.K0, p.KP, p.Cg), cols_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(bnd, pr, xp)
+
+
+def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
+    p = plan
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p.B, p.dg, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p.SPAD, p.Cg),
+                         lambda b, d, t, *_: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K0, p.KP, p.Cg),
+                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p.SPAD, p.Cg),
+                         lambda b, d, t, *_: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((p.NR, p.KP), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, plan=p, cd=cd, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((p.B, p.dg, p.SPAD, p.Cg), jnp.float32),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K0, p.NR, p.KP),
+                                 jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(bnd, pr, xp, gcols_t)
+
+
+def _untile(cols_t, plan: _Plan):
+    """(B, dg, NT, K0, KP, Cg) -> (B, dg, K, P, Cg)."""
+    p = plan
+    c = cols_t.reshape(p.B, p.dg, p.NT, p.K0, p.KI, p.PT, p.Cg)
+    c = c.transpose(0, 1, 3, 4, 2, 5, 6).reshape(
+        p.B, p.dg, p.K, p.PPAD, p.Cg)
+    return c[:, :, :, :p.P]
+
+
+def _retile(g, plan: _Plan):
+    """(B, dg, K, P, Cg) -> (B, dg, NT, K0, KP, Cg): inverse of _untile."""
+    p = plan
+    g = jnp.pad(g, ((0, 0),) * 3 + ((0, p.PPAD - p.P), (0, 0)))
+    g = g.reshape(p.B, p.dg, p.K0, p.KI, p.NT, p.PT, p.Cg)
+    return g.transpose(0, 1, 4, 2, 3, 5, 6).reshape(
+        p.B, p.dg, p.NT, p.K0, p.KP, p.Cg)
+
+
+def _unpack_s(gs, plan: _Plan):
+    """(B, dg, NT, K0, NR, KP) s-rows -> list of nd+1 (B, dg, K, P):
+    grad wrt pos_0..pos_{nd-1} and grad_mask."""
+    p = plan
+    g = gs.reshape(p.B, p.dg, p.NT, p.K0, p.NR, p.KI, p.PT)
+    g = g.transpose(0, 1, 4, 3, 5, 2, 6).reshape(
+        p.B, p.dg, p.NR, p.K, p.PPAD)[:, :, :, :, :p.P]
+    return [g[:, :, r] for r in range(p.nd + 1)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_columns(x, offset, mask, spec: DeformConvSpec, precision: str):
+    """Deformable columns (B, dg, K, P, Cg) via the fused Pallas kernel.
+
+    Differentiable in x / offset / mask with hand-written Pallas VJPs.
+    `mask` may be a zero-size placeholder for the plain (DCNv1) ops.
+    """
+    return _fused_columns_impl(x, offset, mask, spec, precision)
+
+
+def _fused_columns_impl(x, offset, mask, spec, precision):
+    cd, prec = _resolve(precision)
+    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                 spec.out_sizes(x.shape[2:]), x.dtype)
+    m = mask if (mask is not None and mask.size) else None
+    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    cols_t = _fwd_call(xp, pr, bnd, plan, cd, prec)
+    return _untile(cols_t, plan)
+
+
+def _fused_columns_fwd(x, offset, mask, spec, precision):
+    return _fused_columns_impl(x, offset, mask, spec, precision), \
+        (x, offset, mask)
+
+
+def _fused_columns_bwd(spec, precision, res, g):
+    x, offset, mask = res
+    cd, prec = _resolve(precision)
+    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                 spec.out_sizes(x.shape[2:]), x.dtype)
+    p = plan
+    m = mask if (mask is not None and mask.size) else None
+    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    gcols_t = _retile(g.astype(jnp.float32), plan)
+    gxp, gs = _bwd_call(xp, pr, bnd, gcols_t, plan, cd, prec)
+
+    gx = gxp[:, :, :p.Sflat].reshape((p.B, p.dg) + p.S + (p.Cg,))
+    gx = jnp.moveaxis(gx, -1, 2).reshape((p.B, p.C) + p.S)
+    gx = gx.astype(x.dtype)
+
+    s = _unpack_s(gs, plan)                    # nd pos-grads + mask-grad
+    goff = jnp.stack(s[:p.nd], axis=3)         # (B, dg, K, nd, P)
+    goff = goff.reshape(offset.shape).astype(offset.dtype)
+    if m is None:
+        gmask = jnp.zeros_like(mask) if mask is not None else None
+    else:
+        gmask = s[p.nd].reshape(mask.shape).astype(mask.dtype)
+    return gx, goff, gmask
+
+
+fused_columns.defvjp(_fused_columns_fwd, _fused_columns_bwd)
+
+
+def ineligible_reason(x, spec: DeformConvSpec) -> Optional[str]:
+    """None if the fused kernel supports this config, else a reason."""
+    if spec.ndim not in (2, 3):
+        return "pallas kernel supports 2D and 3D only"
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return f"unsupported dtype {x.dtype}"
+    if x.shape[1] % spec.deformable_groups:
+        return "channels not divisible by deformable_groups"
+    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                 spec.out_sizes(x.shape[2:]), x.dtype)
+    return plan.ineligible_reason()
+
+
+def deform_conv_fused(x, offset, mask, weight, bias, spec: DeformConvSpec,
+                      precision: str = "tensorfloat32"):
+    """Full fused N-d deformable conv: Pallas columns + grouped MXU GEMM.
+
+    Matches the reference host pipeline (deformable_conv.cu:117-196,
+    deformable_conv3d.cu:160-256): per-group GEMM out[g] = W[g] @ cols[g]
+    plus bias broadcast."""
+    B, C = x.shape[0], x.shape[1]
+    OS = spec.out_sizes(x.shape[2:])
+    P = math.prod(OS)
+    K, g = spec.tap_count, spec.groups
+    O = weight.shape[0]
+    in_dtype = x.dtype
+
+    if x.dtype == jnp.float16:
+        x = x.astype(jnp.float32)
+    mask_arr = mask if mask is not None else jnp.zeros((0,), x.dtype)
+    cols = fused_columns(x, offset, mask_arr, spec, precision)
+    # (B, dg, K, P, Cg) -> (B, P, g, C/g, K); channel c = d*Cg + cg.
+    cols = cols.transpose(0, 3, 1, 4, 2).reshape(B, P, C, K)
+    cols = cols.reshape(B, P, g, C // g, K)
+    w = weight.reshape(g, O // g, C // g, K).astype(cols.dtype)
+    gemm_prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+                 else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum("bpgck,gock->bpgo", cols, w, precision=gemm_prec,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, P, O)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, None, :]
+    out = out.astype(in_dtype).reshape((B,) + OS + (O,))
+    return jnp.moveaxis(out, -1, 1)

@@ -1,6 +1,6 @@
-"""Fused Pallas kernel (ops/pallas/gathermm2d.py) vs the XLA oracle path.
+"""Fused Pallas kernel (ops/pallas/gathermm.py) vs the XLA oracle path.
 
-Runs in Pallas interpreter mode on CPU (see gathermm2d._interpret), so
+Runs in Pallas interpreter mode on CPU (see gathermm._interpret), so
 shapes are kept tiny.  The same kernel compiles natively on TPU; bench.py
 and /tmp drive scripts exercise that side.
 """
@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 import modulated_deform_conv_tpu as mdc
-from modulated_deform_conv_tpu.ops.pallas import gathermm2d
+from modulated_deform_conv_tpu.ops.pallas import gathermm
 from modulated_deform_conv_tpu.utils.config import DeformConvSpec
 
 RNG = np.random.default_rng(42)
@@ -99,7 +99,7 @@ def test_gradients_plain_op():
     gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3)))(x, off, w, b)
     for got, want, name in zip(gp, gx, ["x", "offset", "w", "b"]):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=3e-5, atol=3e-5, err_msg=name)
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
 
 
 def test_extreme_offsets_zero_outside():
@@ -137,29 +137,52 @@ def test_precision_modes_close():
     x, off, mask, w, b, kw = _mk(*CONFIGS[0])
     ref = _run(x, off, mask, w, b, kw, "xla")
     scale = float(jnp.max(jnp.abs(ref)))
-    for prec in gathermm2d.PRECISIONS:
+    for prec in gathermm.PRECISIONS:
         got = _run(x, off, mask, w, b, kw, "pallas", precision=prec)
         rel = float(jnp.max(jnp.abs(got - ref))) / scale
         assert rel < (1e-5 if prec == "float32" else 3e-2), (prec, rel)
 
 
-def test_ineligible_configs_fall_back():
-    # 3D is not yet pallas-eligible; impl="auto" must still work.
-    B, C, D, H, W, k = 1, 8, 4, 5, 5, 2
+def test_3d_forward_and_grads_match_xla():
+    B, C, D, H, W, k, dg = 1, 16, 6, 7, 5, 2, 2
     K = k ** 3
-    x = jnp.ones((B, C, D, H, W), jnp.float32)
-    spec_os = (D - 1, H - 1, W - 1)
-    off = jnp.zeros((B, 3 * K) + spec_os, jnp.float32)
-    w = jnp.ones((4, C, k, k, k), jnp.float32)
-    out = jax.jit(lambda *a: mdc.deform_conv3d(*a, impl="auto"))(x, off, w)
-    assert out.shape == (B, 4) + spec_os
-    with pytest.raises(NotImplementedError):
-        mdc.deform_conv3d(x, off, w, impl="pallas")
+    spec = DeformConvSpec.make(3, (k, k, k), 1, 1, 1, 1, dg, 0,
+                               modulated=True)
+    OS = spec.out_sizes((D, H, W))
+    x = jnp.asarray(RNG.standard_normal((B, C, D, H, W)), jnp.float32)
+    off = jnp.asarray(RNG.uniform(-2, 2, (B, dg * 3 * K) + OS), jnp.float32)
+    mask = jnp.asarray(RNG.uniform(0, 1, (B, dg * K) + OS), jnp.float32)
+    w = jnp.asarray(RNG.standard_normal((8, C, k, k, k)), jnp.float32)
+
+    def loss(impl):
+        def f(x, off, mask, w):
+            o = mdc.modulated_deform_conv3d(x, off, mask, w, None, padding=1,
+                                            deformable_groups=dg, impl=impl,
+                                            precision="float32")
+            return jnp.sum(o * jnp.cos(0.1 * o))
+        return f
+
+    outp = jax.jit(lambda *a: mdc.modulated_deform_conv3d(
+        *a, None, padding=1, deformable_groups=dg, impl="pallas",
+        precision="float32"))(x, off, mask, w)
+    outx = jax.jit(lambda *a: mdc.modulated_deform_conv3d(
+        *a, None, padding=1, deformable_groups=dg, impl="xla"))(
+        x, off, mask, w)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(outx),
+                               rtol=3e-5, atol=3e-5)
+
+    gp = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3)))(
+        x, off, mask, w)
+    gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3)))(
+        x, off, mask, w)
+    for got, want, name in zip(gp, gx, ["x", "offset", "mask", "w"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-5, atol=5e-5, err_msg=name)
 
 
 def test_eligibility_reasons():
     spec = DeformConvSpec.make(2, (3, 3), 1, 1, 1, 1, 1, 0, modulated=True)
     x = jnp.zeros((1, 16, 8, 8), jnp.float32)
-    assert gathermm2d.ineligible_reason(x, spec) is None
+    assert gathermm.ineligible_reason(x, spec) is None
     xhuge = jnp.zeros((1, 16, 2048, 2048), jnp.float32)
-    assert gathermm2d.ineligible_reason(xhuge, spec) is not None
+    assert gathermm.ineligible_reason(xhuge, spec) is not None
