@@ -60,7 +60,7 @@ PRECISIONS = ("float32", "tensorfloat32", "bfloat16")
 
 # VMEM budgets (bytes) for the tiling heuristic / eligibility gate.
 _A_CHUNK_BUDGET = 2 * 1024 * 1024       # one (SCH, KP) f32 A-chunk
-_X_PLANE_BUDGET = 10 * 1024 * 1024      # one (S_pad, Cg) input plane
+_X_PLANE_BUDGET = 40 * 1024 * 1024      # one (S_pad, Cg) input plane
 _VMEM_LIMIT = 100 * 1024 * 1024         # v5e has 128MB physical VMEM
 _LANE_BUDGET = 4608                     # target KP lanes per matmul
 _PT_OVERRIDE = 0                        # nonzero: force P_tile (tuning)
@@ -164,6 +164,10 @@ class _Plan:
         # Factor rows in pr: 5 + 2*(nd-1), padded to a sublane multiple.
         self.NR = 8 if self.nd == 2 else 16
 
+        # Streaming mode: the (SPAD, Cg) plane stays in HBM and chunks are
+        # DMA'd into VMEM on demand (planes too large for VMEM residency).
+        self.stream = self.SPAD * self.Cg * 4 > _X_PLANE_BUDGET
+
     def qstride_of(self, d):
         return self.qstride[d]
 
@@ -172,8 +176,6 @@ class _Plan:
             return "K*P_tile too large for the lane budget"
         if self.SCH * self.KP * 4 > 2 * _A_CHUNK_BUDGET:
             return "A chunk exceeds VMEM budget"
-        if self.SPAD * self.Cg * 4 > _X_PLANE_BUDGET:
-            return "input plane per (batch, dg) exceeds VMEM budget"
         if self.Cg < 8:
             return "too few channels per deformable group for the MXU"
         return None
@@ -189,21 +191,28 @@ def _resolve(precision: str):
     raise ValueError(f"precision must be one of {PRECISIONS}")
 
 
-def _base_grid(spec: DeformConvSpec, OS) -> np.ndarray:
-    """(nd, K, P) static sample-grid base: o*stride - pad + i*dilation
-    (reference deformable_conv.cu:76-77, deformable_conv3d.cu:101-103)."""
+def _base_grid(spec: DeformConvSpec, OS):
+    """(nd, K, P) sample-grid base: o*stride - pad + i*dilation
+    (reference deformable_conv.cu:76-77, deformable_conv3d.cu:101-103).
+
+    Built from on-device iotas — a host constant would embed nd*K*P floats
+    into the program (tens of MB for 3D volumes)."""
     nd = spec.ndim
     K = spec.tap_count
     P = math.prod(OS)
     taps = np.stack(np.meshgrid(*[np.arange(k) for k in spec.kernel],
                                 indexing="ij"), 0).reshape(nd, K)
-    outs = np.stack(np.meshgrid(*[np.arange(o) for o in OS],
-                                indexing="ij"), 0).reshape(nd, P)
-    base = np.empty((nd, K, P), np.float32)
+    ostride = [1] * nd
+    for d in range(nd - 2, -1, -1):
+        ostride[d] = ostride[d + 1] * OS[d + 1]
+    flat = jax.lax.iota(jnp.int32, P)
+    rows = []
     for d in range(nd):
-        base[d] = (outs[d][None] * spec.stride[d] - spec.padding[d]
-                   + taps[d][:, None] * spec.dilation[d])
-    return base
+        out_d = ((flat // ostride[d]) % OS[d]).astype(jnp.float32)
+        tap_d = jnp.asarray(taps[d], jnp.float32)
+        rows.append(out_d[None, :] * spec.stride[d] - spec.padding[d]
+                    + tap_d[:, None] * spec.dilation[d])
+    return jnp.stack(rows)
 
 
 # pr row indices (16 rows; 2D uses the first 7).
@@ -228,7 +237,7 @@ def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan):
     """
     p = plan
     nd, B, dg, K = p.nd, p.B, p.dg, p.K
-    base = jnp.asarray(_base_grid(spec, p.OS))            # (nd, K, P)
+    base = _base_grid(spec, p.OS)                          # (nd, K, P)
 
     off = offset.reshape((B, dg, K, nd) + p.OS).reshape(
         B, dg, K, nd, p.P).astype(jnp.float32)
@@ -309,10 +318,22 @@ def _factor_d(pr_k, qd, d):
     return F, dF
 
 
-def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *, plan, cd,
-                prec):
+def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
+                plan, cd, prec):
     p = plan
     b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if p.stream:
+        xbuf, xsem = scratch
+
+        def load_x(ci):
+            dma = pltpu.make_async_copy(
+                x_ref.at[b, dgi, pl.ds(ci * p.SCH, p.SCH), :], xbuf, xsem)
+            dma.start()
+            dma.wait()
+            return xbuf[...].astype(cd)
+    else:
+        def load_x(ci):
+            return x_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
 
@@ -342,7 +363,7 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *, plan, cd,
                     qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
                         jnp.float32)
                     A = A * _factor_d(pr_k, qd, d)[0]
-            xc = x_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+            xc = load_x(ci)
             acc_ref[...] += jax.lax.dot_general(
                 A.astype(cd), xc, (((0,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32)
@@ -353,16 +374,57 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *, plan, cd,
 
 
 def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
-                sh_ref, *, plan, cd, prec):
+                sh_ref, *scratch, plan, cd, prec):
     """grad_x via A @ gcols (MXU, deterministic); grad_offset/grad_mask via
     M = x @ gcols^T reduced against analytic dA/dpos factors."""
     p = plan
     b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
 
-    @pl.when(t == 0)
-    def _():
-        gx_ref[...] = jnp.zeros_like(gx_ref)
+    if p.stream:
+        xbuf, gbuf, xsem, gsem = scratch
+
+        def load_x(ci):
+            dma = pltpu.make_async_copy(
+                x_ref.at[b, dgi, pl.ds(ci * p.SCH, p.SCH), :], xbuf, xsem)
+            dma.start()
+            dma.wait()
+            return xbuf[...].astype(cd)
+
+        def accum_gx(ci, gxc):
+            sl = pl.ds(ci * p.SCH, p.SCH)
+            rd = pltpu.make_async_copy(gx_ref.at[b, dgi, sl, :], gbuf, gsem)
+            rd.start()
+            rd.wait()
+            gbuf[...] += gxc
+            wr = pltpu.make_async_copy(gbuf, gx_ref.at[b, dgi, sl, :], gsem)
+            wr.start()
+            wr.wait()
+
+        # Zero this (b, dg) plane on the tile-loop's first visit.
+        @pl.when(t == 0)
+        def _():
+            gbuf[...] = jnp.zeros_like(gbuf)
+
+            def zero_chunk(ci, _):
+                wr = pltpu.make_async_copy(
+                    gbuf, gx_ref.at[b, dgi, pl.ds(ci * p.SCH, p.SCH), :],
+                    gsem)
+                wr.start()
+                wr.wait()
+                return 0
+
+            jax.lax.fori_loop(0, p.NCH, zero_chunk, 0)
+    else:
+        def load_x(ci):
+            return x_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+
+        def accum_gx(ci, gxc):
+            gx_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :] += gxc
+
+        @pl.when(t == 0)
+        def _():
+            gx_ref[...] = jnp.zeros_like(gx_ref)
 
     for kg in range(p.K0):
         pr_k = pr_ref[0, 0, 0, kg]
@@ -406,10 +468,9 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
             gxc = jax.lax.dot_general(
                 A.astype(cd), gcols, (((1,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32)
-            sl = pl.ds(ci * p.SCH, p.SCH)
-            gx_ref[0, 0, sl, :] += gxc
+            xc = load_x(ci)
+            accum_gx(ci, gxc)
 
-            xc = x_ref[0, 0, sl, :].astype(cd)
             M = jax.lax.dot_general(
                 xc, gcols, (((1,), (1,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32)
@@ -433,6 +494,17 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
 
 def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
     p = plan
+    xdt = jnp.float32 if xp.dtype == jnp.float32 else xp.dtype
+    if p.stream:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((p.KP, p.Cg), jnp.float32),
+                   pltpu.VMEM((p.SCH, p.Cg), xdt),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        x_spec = pl.BlockSpec((1, 1, p.SPAD, p.Cg),
+                              lambda b, d, t, *_: (b, d, 0, 0),
+                              memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((p.KP, p.Cg), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(p.B, p.dg, p.NT),
@@ -440,14 +512,12 @@ def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p.SPAD, p.Cg),
-                         lambda b, d, t, *_: (b, d, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, p.K0, p.KP, p.Cg),
                                lambda b, d, t, *_: (b, d, t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((p.KP, p.Cg), jnp.float32)],
+        scratch_shapes=scratch,
     )
     cols_dtype = jnp.float32 if cd == jnp.float32 else jnp.bfloat16
     return pl.pallas_call(
@@ -462,6 +532,23 @@ def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
 
 def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
     p = plan
+    xdt = jnp.float32 if xp.dtype == jnp.float32 else xp.dtype
+    if p.stream:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        gx_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((p.NR, p.KP), jnp.float32),
+                   pltpu.VMEM((p.SCH, p.Cg), xdt),
+                   pltpu.VMEM((p.SCH, p.Cg), jnp.float32),
+                   pltpu.SemaphoreType.DMA(()),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        x_spec = pl.BlockSpec((1, 1, p.SPAD, p.Cg),
+                              lambda b, d, t, *_: (b, d, 0, 0),
+                              memory_space=pltpu.VMEM)
+        gx_spec = pl.BlockSpec((1, 1, p.SPAD, p.Cg),
+                               lambda b, d, t, *_: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((p.NR, p.KP), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(p.B, p.dg, p.NT),
@@ -469,22 +556,18 @@ def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p.SPAD, p.Cg),
-                         lambda b, d, t, *_: (b, d, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((1, 1, 1, p.K0, p.KP, p.Cg),
                          lambda b, d, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, p.SPAD, p.Cg),
-                         lambda b, d, t, *_: (b, d, 0, 0),
-                         memory_space=pltpu.VMEM),
+            gx_spec,
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((p.NR, p.KP), jnp.float32)],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, plan=p, cd=cd, prec=prec),
@@ -590,6 +673,12 @@ def ineligible_reason(x, spec: DeformConvSpec) -> Optional[str]:
         return "channels not divisible by deformable_groups"
     plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
                  spec.out_sizes(x.shape[2:]), x.dtype)
+    if plan.stream and jax.default_backend() == "tpu":
+        # The HBM-streaming path (chunk DMA) is implemented and verified in
+        # interpreter mode, but this environment's AOT TPU compiler crashes
+        # on any indexed make_async_copy; gate it to the XLA fallback until
+        # the toolchain supports it.
+        return "input plane exceeds VMEM residency budget (DMA streaming "                "blocked by the current TPU toolchain)"
     return plan.ineligible_reason()
 
 

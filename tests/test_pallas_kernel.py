@@ -185,4 +185,37 @@ def test_eligibility_reasons():
     x = jnp.zeros((1, 16, 8, 8), jnp.float32)
     assert gathermm.ineligible_reason(x, spec) is None
     xhuge = jnp.zeros((1, 16, 2048, 2048), jnp.float32)
-    assert gathermm.ineligible_reason(xhuge, spec) is not None
+    plan = gathermm._Plan(spec, 1, 16, (2048, 2048), (2048, 2048),
+                          jnp.float32)
+    assert plan.stream                      # large planes stream from HBM
+    xtiny = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    assert gathermm.ineligible_reason(xtiny, spec) is not None
+
+
+def test_streaming_mode_matches_resident(monkeypatch):
+    """Planes too large for VMEM stream chunks from HBM via DMA; results
+    must match the VMEM-resident path exactly."""
+    from modulated_deform_conv_tpu.ops.pallas import gathermm as gm
+    x, off, mask, w, b, kw = _mk(*CONFIGS[0])
+    want = _run(x, off, mask, w, b, kw, "pallas")
+
+    def loss(x, off, mask, w, b):
+        o = mdc.modulated_deform_conv2d(x, off, mask, w, b, **kw,
+                                        impl="pallas", precision="float32")
+        return jnp.sum(o * o)
+
+    gref = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, off, mask, w, b)
+
+    monkeypatch.setattr(gm, "_X_PLANE_BUDGET", 1024)  # force streaming
+    spec = DeformConvSpec.make(2, (3, 3), *CONFIGS[0][7:10], CONFIGS[0][5],
+                               CONFIGS[0][6], 0, modulated=True)
+    plan = gm._Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                    spec.out_sizes(x.shape[2:]), x.dtype)
+    assert plan.stream
+    got = _run(x, off, mask, w, b, kw, "pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    gstream = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, off, mask, w, b)
+    for a, bb, name in zip(gstream, gref, ["x", "offset", "mask"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
