@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark suite over the BASELINE.md configs (single chip).
+
+Runs every config forward and forward+backward, for both the XLA path and
+the fused Pallas kernel, with dispatch-latency-amortized timing (see
+bench.py: the axon tunnel adds ~30ms per call).  Writes
+benchmarks/suite_results.json and prints a summary table to stderr.
+
+Config 5's multi-host sharding axis is exercised separately by
+tests/test_sharding.py on a CPU-simulated mesh and by
+__graft_entry__.dryrun_multichip; here its per-stage single-chip shapes are
+measured (DCN-in-ResNet-50 stages c3..c5 at batch 32).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import measure_amortized, log  # noqa: E402
+
+
+def build_case(name, op, nd, B, C, O, S, k, g, dg, modulated, bias, in_step,
+               off_scale=2.0, **kw):
+    import numpy as np
+    import jax.numpy as jnp
+    K = k ** nd
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, C) + S), jnp.float32)
+    off = jnp.asarray(rng.uniform(-off_scale, off_scale,
+                                  (B, dg * nd * K) + S), jnp.float32)
+    args = [x, off]
+    if modulated:
+        args.append(jnp.asarray(rng.uniform(0, 1, (B, dg * K) + S),
+                                jnp.float32))
+    w = jnp.asarray(rng.standard_normal((O, C // g, ) + (k,) * nd) * 0.05,
+                    jnp.float32)
+    args.append(w)
+    args.append(jnp.zeros((O,), jnp.float32) if bias else None)
+    kwargs = dict(stride=1, padding=k // 2, groups=g, deformable_groups=dg,
+                  in_step=in_step, **kw)
+    return dict(name=name, op=op, args=args, kwargs=kwargs, batch=B)
+
+
+def case_specs():
+    return [
+        # BASELINE config 1: my_test-style smoke at benchable scale
+        lambda: build_case("cfg1_dcn2d_32ch_64x64", "deform_conv2d", 2,
+                   2, 32, 32, (64, 64), 3, 1, 1, False, False, 64),
+        # BASELINE config 2: the headline DCNv2 layer
+        lambda: build_case("cfg2_mdcn2d_256ch_56x56_g4", "modulated_deform_conv2d",
+                   2, 8, 256, 256, (56, 56), 3, 4, 4, True, True, 64),
+        # BASELINE config 3: 3D video volume
+        lambda: build_case("cfg3_dcn3d_64ch_16x32x32", "deform_conv3d", 3,
+                   2, 64, 64, (16, 32, 32), 3, 1, 1, False, False, 64),
+        # BASELINE config 4: large modulated 3D with in_step micro-batching
+        lambda: build_case("cfg4_mdcn3d_128ch_32x64x64_instep2",
+                   "modulated_deform_conv3d", 3,
+                   4, 128, 128, (32, 64, 64), 3, 1, 1, True, False, 2),
+        # BASELINE config 5: DCNv2 ResNet-50 stage shapes (B=32/chip)
+        lambda: build_case("cfg5_r50_c3_512ch_28x28", "modulated_deform_conv2d", 2,
+                   32, 512, 512, (28, 28), 3, 1, 1, True, True, 64),
+        lambda: build_case("cfg5_r50_c4_1024ch_14x14", "modulated_deform_conv2d", 2,
+                   32, 1024, 1024, (14, 14), 3, 1, 1, True, True, 64),
+        lambda: build_case("cfg5_r50_c5_2048ch_7x7", "modulated_deform_conv2d", 2,
+                   32, 2048, 2048, (7, 7), 3, 1, 1, True, True, 64),
+    ]
+
+
+def run_case(case, impl, iters, skip_slow_xla=False):
+    import jax
+    import jax.numpy as jnp
+    import modulated_deform_conv_tpu as mdc
+
+    op = getattr(mdc, case["op"])
+    args = [a for a in case["args"] if a is not None]
+    has_bias = case["args"][-1] is not None
+    kwargs = dict(case["kwargs"])
+
+    def fwd(*a):
+        bias = a[-1] if has_bias else None
+        ins = a[:-1] if has_bias else a
+        return jnp.sum(jnp.square(op(*ins, bias, **kwargs, impl=impl)))
+
+    nargs = len(args)
+
+    def fwdbwd(*a):
+        gs = jax.grad(fwd, argnums=tuple(range(nargs)))(*a)
+        return sum(jnp.sum(g) for g in gs)
+
+    t_f = measure_amortized(fwd, tuple(args), iters, n_lo=2, n_hi=12)
+    t_fb = measure_amortized(fwdbwd, tuple(args), iters, n_lo=2, n_hi=12)
+    return {"fwd_ms": t_f * 1e3, "fwdbwd_ms": t_fb * 1e3,
+            "samples_per_s_fwdbwd": case["batch"] / t_fb}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--impls", default="xla,pallas")
+    ap.add_argument("--only", default=None, help="substring filter")
+    args = ap.parse_args()
+
+    import jax
+    dev = jax.devices()[0]
+    iters = 2 if args.quick else 5
+    results = {"device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+               "cases": {}}
+    for make_case in case_specs():
+        case = None
+        row = {}
+        for impl in args.impls.split(","):
+            try:
+                if case is None:
+                    case = make_case()   # build args lazily
+                if args.only and args.only not in case["name"]:
+                    break
+                t0 = time.time()
+                row[impl] = run_case(case, impl, iters)
+                row[impl]["wall_s"] = round(time.time() - t0, 1)
+                log(f"{case['name']:38s} {impl:7s} "
+                    f"fwd {row[impl]['fwd_ms']:8.2f} ms  "
+                    f"fwd+bwd {row[impl]['fwdbwd_ms']:8.2f} ms  "
+                    f"{row[impl]['samples_per_s_fwdbwd']:8.1f} samples/s")
+            except Exception as e:  # keep going; record the failure
+                row[impl] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                log(f"{case['name']:38s} {impl:7s} FAILED: {row[impl]['error'][:80]}")
+        if case is None or (args.only and args.only not in case["name"]):
+            continue
+        if "xla" in row and "pallas" in row and "error" not in row["xla"] \
+                and "error" not in row["pallas"]:
+            row["speedup_fwdbwd"] = round(
+                row["xla"]["fwdbwd_ms"] / row["pallas"]["fwdbwd_ms"], 2)
+        results["cases"][case["name"]] = row
+        del case["args"]          # release device buffers before next case
+        case = None
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "suite_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"wrote {out}")
+    print(json.dumps({k: v.get("speedup_fwdbwd") for k, v in
+                      results["cases"].items()}))
+
+
+if __name__ == "__main__":
+    main()

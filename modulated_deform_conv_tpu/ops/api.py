@@ -27,20 +27,22 @@ _IMPLS = ("auto", "xla", "pallas")
 
 
 def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str,
-              precision: str = "tensorfloat32"):
+              precision: str = "tensorfloat32", out_sizes=None):
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
-    spec.validate(x.shape, offset.shape, weight.shape,
-                  None if mask is None else mask.shape,
-                  None if bias is None else bias.shape)
+    if out_sizes is None:
+        spec.validate(x.shape, offset.shape, weight.shape,
+                      None if mask is None else mask.shape,
+                      None if bias is None else bias.shape)
     if impl in ("auto", "pallas"):
         from . import pallas as _pl
         fn = _pl.maybe_pallas(x, offset, mask, weight, bias, spec,
                               require=(impl == "pallas"),
-                              precision=precision)
+                              precision=precision, out_sizes=out_sizes)
         if fn is not None:
             return fn
-    return core.deform_conv_nd(x, offset, mask, weight, bias, spec)
+    return core.deform_conv_nd(x, offset, mask, weight, bias, spec,
+                               out_sizes=out_sizes)
 
 
 def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,

@@ -46,26 +46,31 @@ import numpy as np
 from ..utils.config import DeformConvSpec
 
 
-def _base_positions(spec: DeformConvSpec, out_sizes: Tuple[int, ...]) -> np.ndarray:
-    """Static sampling-grid base: (ndim, K, P) float32.
+def _base_positions(spec: DeformConvSpec, out_sizes: Tuple[int, ...]):
+    """Sampling-grid base: (ndim, K, P) float32.
 
     base[d, f, p] = o_d(p)*stride_d - pad_d + i_d(f)*dilation_d  — the
     integer part of the sample position before the learned offset is added
-    (reference deformable_conv.cu:59-60, 76-77).  Computed with numpy so it
-    is a compile-time constant.
+    (reference deformable_conv.cu:59-60, 76-77).  Built from on-device
+    iotas: a host constant would embed ndim*K*P floats into the compiled
+    program (tens of MB for 3D volumes).
     """
     nd = spec.ndim
     K = spec.tap_count
     P = math.prod(out_sizes)
     taps = np.stack(np.meshgrid(*[np.arange(k) for k in spec.kernel],
                                 indexing="ij"), axis=0).reshape(nd, K)
-    outs = np.stack(np.meshgrid(*[np.arange(o) for o in out_sizes],
-                                indexing="ij"), axis=0).reshape(nd, P)
-    base = np.empty((nd, K, P), np.float32)
+    ostride = [1] * nd
+    for d in range(nd - 2, -1, -1):
+        ostride[d] = ostride[d + 1] * out_sizes[d + 1]
+    flat = jax.lax.iota(jnp.int32, P)
+    rows = []
     for d in range(nd):
-        base[d] = (outs[d][None, :] * spec.stride[d] - spec.padding[d]
-                   + taps[d][:, None] * spec.dilation[d])
-    return base
+        out_d = ((flat // ostride[d]) % out_sizes[d]).astype(jnp.float32)
+        tap_d = jnp.asarray(taps[d], jnp.float32)
+        rows.append(out_d[None, :] * spec.stride[d] - spec.padding[d]
+                    + tap_d[:, None] * spec.dilation[d])
+    return jnp.stack(rows)
 
 
 def deform_conv_columns(x: jax.Array, offset: jax.Array,
@@ -99,8 +104,8 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
     # Sampling precision: fp32, or the input precision if higher (x64 mode).
     acc = jnp.promote_types(jnp.float32, x.dtype)
 
-    # Sample positions: base (static) + offset, in fp32.
-    base = jnp.asarray(_base_positions(spec, OS)).transpose(1, 0, 2)  # (K, nd, P)
+    # Sample positions: base grid + offset, in fp32.
+    base = _base_positions(spec, OS).transpose(1, 0, 2)   # (K, nd, P)
     off = offset.reshape(B, dg, K, nd, P).astype(acc)
     pos = base[None, None] + off                              # (B, dg, K, nd, P)
 
@@ -194,10 +199,23 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     """
     B = x.shape[0]
     step = math.gcd(B, spec.in_step) if spec.in_step > 0 else B
+    # Cap the chunk so the per-chunk column intermediate stays well under
+    # the ~2GB XLA buffer limit (in_step is a pure memory knob — results
+    # are invariant, reference config.h:43-60).
+    OS = spec.out_sizes(x.shape[2:]) if out_sizes is None else tuple(out_sizes)
+    bytes_per_sample = (spec.tap_count * math.prod(OS) * x.shape[1]
+                        * max(4, jnp.dtype(x.dtype).itemsize))
+    cap = max(1, (1 << 30) // bytes_per_sample)
+    while step > cap or B % step:
+        step -= 1
     if step >= B or step <= 0:
         return _deform_conv_nd(x, offset, mask, weight, bias, spec, out_sizes)
     nb = B // step
 
+    # Rematerialize per-chunk columns in the backward instead of saving
+    # them — the reference makes the same tradeoff by recomputing columns
+    # inside its gradient kernel (deformable_conv.cu:285).
+    @jax.checkpoint
     def chunk(args):
         xc, oc, mc = args
         return _deform_conv_nd(xc, oc, mc, weight, bias, spec, out_sizes)
@@ -212,7 +230,8 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     if mask is not None:
         out = jax.lax.map(chunk, (xs, offs, ms))
     else:
-        out = jax.lax.map(lambda a: _deform_conv_nd(a[0], a[1], None, weight,
-                                                    bias, spec, out_sizes),
-                          (xs, offs))
+        out = jax.lax.map(
+            jax.checkpoint(lambda a: _deform_conv_nd(
+                a[0], a[1], None, weight, bias, spec, out_sizes)),
+            (xs, offs))
     return out.reshape((B,) + out.shape[2:])

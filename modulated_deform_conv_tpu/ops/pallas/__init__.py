@@ -16,14 +16,15 @@ from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
                  require: bool = False,
-                 precision: str = "tensorfloat32"):
+                 precision: str = "tensorfloat32",
+                 out_sizes=None):
     """Return the Pallas-kernel output, or None if unsupported.
 
     With require=True (impl="pallas"), raises instead of silently falling
     back when the config is ineligible.
     """
     from . import gathermm
-    reason = gathermm.ineligible_reason(x, spec)
+    reason = gathermm.ineligible_reason(x, spec, out_sizes)
     if reason is None and not require and jax.default_backend() != "tpu":
         # Off-TPU the kernel only runs in the (slow) interpreter; "auto"
         # prefers the compiled XLA path there.  impl="pallas" still forces
@@ -31,7 +32,7 @@ def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
         reason = "auto prefers XLA off-TPU"
     if reason is None:
         return gathermm.deform_conv_fused(x, offset, mask, weight, bias,
-                                          spec, precision)
+                                          spec, precision, out_sizes)
     if require:
         raise NotImplementedError(
             f"pallas path unavailable for this config: {reason}")

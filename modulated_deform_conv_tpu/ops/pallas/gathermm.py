@@ -164,9 +164,20 @@ class _Plan:
         # Factor rows in pr: 5 + 2*(nd-1), padded to a sublane multiple.
         self.NR = 8 if self.nd == 2 else 16
 
-        # Streaming mode: the (SPAD, Cg) plane stays in HBM and chunks are
-        # DMA'd into VMEM on demand (planes too large for VMEM residency).
-        self.stream = self.SPAD * self.Cg * 4 > _X_PLANE_BUDGET
+        # Channel-part split: when the (SPAD, Cg) plane exceeds the VMEM
+        # residency budget, split channels across a grid dimension (the
+        # gather is channel-independent).  Streaming (HBM chunk DMA) is the
+        # last resort when even an 8-channel slice doesn't fit.
+        self.NCP = 1
+        plane = self.SPAD * self.Cg * 4
+        while (self.SPAD * (self.Cg // self.NCP) * 4 > _X_PLANE_BUDGET
+               and self.Cg % (self.NCP * 2) == 0
+               and self.Cg // (self.NCP * 2) >= 8):
+            self.NCP *= 2
+        self.CgP = self.Cg // self.NCP
+        self.stream = self.SPAD * self.CgP * 4 > _X_PLANE_BUDGET
+        if self.stream:
+            self.NCP, self.CgP = 1, self.Cg
 
     def qstride_of(self, d):
         return self.qstride[d]
@@ -297,6 +308,9 @@ def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan):
     x_cl = x.reshape(B, dg, p.Cg, p.Sflat)
     x_cl = jnp.moveaxis(x_cl, 2, 3)
     x_cl = jnp.pad(x_cl, ((0, 0), (0, 0), (0, p.SPAD - p.Sflat), (0, 0)))
+    # Explicit channel-part axis (c = cp*CgP + cg) so part blocks satisfy
+    # the Pallas block-shape rule (last dim equals the array dim).
+    x_cl = x_cl.reshape(B, dg, p.SPAD, p.NCP, p.CgP).transpose(0, 1, 3, 2, 4)
     return x_cl, pr, bnd
 
 
@@ -321,19 +335,20 @@ def _factor_d(pr_k, qd, d):
 def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
                 plan, cd, prec):
     p = plan
-    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(3)
     if p.stream:
         xbuf, xsem = scratch
 
         def load_x(ci):
             dma = pltpu.make_async_copy(
-                x_ref.at[b, dgi, pl.ds(ci * p.SCH, p.SCH), :], xbuf, xsem)
+                x_ref.at[b, dgi, 0, pl.ds(ci * p.SCH, p.SCH), :], xbuf,
+                xsem)
             dma.start()
             dma.wait()
             return xbuf[...].astype(cd)
     else:
         def load_x(ci):
-            return x_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+            return x_ref[0, 0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
 
@@ -370,7 +385,7 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
             return 0
 
         jax.lax.fori_loop(lo, hi, body, 0)
-        cols_ref[0, 0, 0, kg] = acc_ref[...].astype(cols_ref.dtype)
+        cols_ref[0, 0, 0, 0, kg] = acc_ref[...].astype(cols_ref.dtype)
 
 
 def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
@@ -378,7 +393,7 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
     """grad_x via A @ gcols (MXU, deterministic); grad_offset/grad_mask via
     M = x @ gcols^T reduced against analytic dA/dpos factors."""
     p = plan
-    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(3)
     qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
 
     if p.stream:
@@ -386,18 +401,21 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
 
         def load_x(ci):
             dma = pltpu.make_async_copy(
-                x_ref.at[b, dgi, pl.ds(ci * p.SCH, p.SCH), :], xbuf, xsem)
+                x_ref.at[b, dgi, 0, pl.ds(ci * p.SCH, p.SCH), :], xbuf,
+                xsem)
             dma.start()
             dma.wait()
             return xbuf[...].astype(cd)
 
         def accum_gx(ci, gxc):
             sl = pl.ds(ci * p.SCH, p.SCH)
-            rd = pltpu.make_async_copy(gx_ref.at[b, dgi, sl, :], gbuf, gsem)
+            rd = pltpu.make_async_copy(gx_ref.at[b, dgi, 0, sl, :], gbuf,
+                                       gsem)
             rd.start()
             rd.wait()
             gbuf[...] += gxc
-            wr = pltpu.make_async_copy(gbuf, gx_ref.at[b, dgi, sl, :], gsem)
+            wr = pltpu.make_async_copy(gbuf, gx_ref.at[b, dgi, 0, sl, :],
+                                       gsem)
             wr.start()
             wr.wait()
 
@@ -408,7 +426,8 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
 
             def zero_chunk(ci, _):
                 wr = pltpu.make_async_copy(
-                    gbuf, gx_ref.at[b, dgi, pl.ds(ci * p.SCH, p.SCH), :],
+                    gbuf,
+                    gx_ref.at[b, dgi, 0, pl.ds(ci * p.SCH, p.SCH), :],
                     gsem)
                 wr.start()
                 wr.wait()
@@ -417,10 +436,10 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
             jax.lax.fori_loop(0, p.NCH, zero_chunk, 0)
     else:
         def load_x(ci):
-            return x_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+            return x_ref[0, 0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
 
         def accum_gx(ci, gxc):
-            gx_ref[0, 0, pl.ds(ci * p.SCH, p.SCH), :] += gxc
+            gx_ref[0, 0, 0, pl.ds(ci * p.SCH, p.SCH), :] += gxc
 
         @pl.when(t == 0)
         def _():
@@ -432,7 +451,7 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
         svh = pr_k[_R_SVH:_R_SVH + 1]
         gl = pr_k[_R_GL:_R_GL + 1]
         gh = pr_k[_R_GH:_R_GH + 1]
-        gcols = gcols_ref[0, 0, 0, kg].astype(cd)       # (KP, Cg)
+        gcols = gcols_ref[0, 0, 0, 0, kg].astype(cd)     # (KP, CgP)
         lo = bnd_ref[b, dgi, t, kg, 0]
         hi = bnd_ref[b, dgi, t, kg, 1]
         hoisted = {}
@@ -489,7 +508,7 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
             return 0
 
         jax.lax.fori_loop(lo, hi, body, 0)
-        gs_ref[0, 0, 0, kg] = sh_ref[...]
+        gs_ref[0, 0, 0, 0, kg] = sh_ref[...]
 
 
 def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
@@ -497,37 +516,40 @@ def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
     xdt = jnp.float32 if xp.dtype == jnp.float32 else xp.dtype
     if p.stream:
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch = [pltpu.VMEM((p.KP, p.Cg), jnp.float32),
-                   pltpu.VMEM((p.SCH, p.Cg), xdt),
+        scratch = [pltpu.VMEM((p.KP, p.CgP), jnp.float32),
+                   pltpu.VMEM((p.SCH, p.CgP), xdt),
                    pltpu.SemaphoreType.DMA(())]
     else:
-        x_spec = pl.BlockSpec((1, 1, p.SPAD, p.Cg),
-                              lambda b, d, t, *_: (b, d, 0, 0),
+        x_spec = pl.BlockSpec((1, 1, 1, p.SPAD, p.CgP),
+                              lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
                               memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((p.KP, p.Cg), jnp.float32)]
+        scratch = [pltpu.VMEM((p.KP, p.CgP), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(p.B, p.dg, p.NT),
+        grid=(p.B, p.dg, p.NCP, p.NT),
         in_specs=[
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
-                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                         lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             x_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, p.K0, p.KP, p.Cg),
-                               lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, 1, p.K0, p.KP, p.CgP),
+                               lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
     cols_dtype = jnp.float32 if cd == jnp.float32 else jnp.bfloat16
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, plan=p, cd=cd, prec=prec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (p.B, p.dg, p.NT, p.K0, p.KP, p.Cg), cols_dtype),
+            (p.B, p.dg, p.NCP, p.NT, p.K0, p.KP, p.CgP), cols_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(bnd, pr, xp)
+    # (B, dg, NCP, NT, K0, KP, CgP) -> (B, dg, NT, K0, KP, Cg)
+    out = out.transpose(0, 1, 3, 4, 5, 2, 6)
+    return out.reshape(p.B, p.dg, p.NT, p.K0, p.KP, p.Cg)
 
 
 def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
@@ -537,49 +559,56 @@ def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         gx_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [pltpu.VMEM((p.NR, p.KP), jnp.float32),
-                   pltpu.VMEM((p.SCH, p.Cg), xdt),
-                   pltpu.VMEM((p.SCH, p.Cg), jnp.float32),
+                   pltpu.VMEM((p.SCH, p.CgP), xdt),
+                   pltpu.VMEM((p.SCH, p.CgP), jnp.float32),
                    pltpu.SemaphoreType.DMA(()),
                    pltpu.SemaphoreType.DMA(())]
     else:
-        x_spec = pl.BlockSpec((1, 1, p.SPAD, p.Cg),
-                              lambda b, d, t, *_: (b, d, 0, 0),
+        x_spec = pl.BlockSpec((1, 1, 1, p.SPAD, p.CgP),
+                              lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
                               memory_space=pltpu.VMEM)
-        gx_spec = pl.BlockSpec((1, 1, p.SPAD, p.Cg),
-                               lambda b, d, t, *_: (b, d, 0, 0),
+        gx_spec = pl.BlockSpec((1, 1, 1, p.SPAD, p.CgP),
+                               lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
                                memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((p.NR, p.KP), jnp.float32)]
+    # gcols with explicit part dim, matching xp's channel split.
+    gcols_t = gcols_t.reshape(p.B, p.dg, p.NT, p.K0, p.KP, p.NCP, p.CgP)
+    gcols_t = gcols_t.transpose(0, 1, 5, 2, 3, 4, 6)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(p.B, p.dg, p.NT),
+        grid=(p.B, p.dg, p.NCP, p.NT),
         in_specs=[
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
-                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+                         lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             x_spec,
-            pl.BlockSpec((1, 1, 1, p.K0, p.KP, p.Cg),
-                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, p.K0, p.KP, p.CgP),
+                         lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             gx_spec,
-            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
-                         lambda b, d, t, *_: (b, d, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    gxp, gs = pl.pallas_call(
         functools.partial(_bwd_kernel, plan=p, cd=cd, prec=prec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((p.B, p.dg, p.SPAD, p.Cg), jnp.float32),
-            jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K0, p.NR, p.KP),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.SPAD, p.CgP),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.NT, p.K0, p.NR, p.KP),
                                  jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(bnd, pr, xp, gcols_t)
+    # (B, dg, NCP, SPAD, CgP) -> (B, dg, SPAD, Cg)
+    gxp = gxp.transpose(0, 1, 3, 2, 4).reshape(p.B, p.dg, p.SPAD, p.Cg)
+    return gxp, gs
 
 
 def _untile(cols_t, plan: _Plan):
@@ -610,41 +639,49 @@ def _unpack_s(gs, plan: _Plan):
     return [g[:, :, r] for r in range(p.nd + 1)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_columns(x, offset, mask, spec: DeformConvSpec, precision: str):
+def _plan_for(x, spec, out_sizes):
+    OS = spec.out_sizes(x.shape[2:]) if out_sizes is None else tuple(out_sizes)
+    return _Plan(spec, x.shape[0], x.shape[1], x.shape[2:], OS, x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_columns(x, offset, mask, spec: DeformConvSpec, precision: str,
+                  out_sizes=None):
     """Deformable columns (B, dg, K, P, Cg) via the fused Pallas kernel.
 
     Differentiable in x / offset / mask with hand-written Pallas VJPs.
     `mask` may be a zero-size placeholder for the plain (DCNv1) ops.
+    `out_sizes` overrides the inferred output grid (used by the sharding
+    layer, whose halo-extended local blocks are larger than the local
+    output grid implies).
     """
-    return _fused_columns_impl(x, offset, mask, spec, precision)
+    return _fused_columns_impl(x, offset, mask, spec, precision, out_sizes)
 
 
-def _fused_columns_impl(x, offset, mask, spec, precision):
+def _fused_columns_impl(x, offset, mask, spec, precision, out_sizes=None):
     cd, prec = _resolve(precision)
-    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
-                 spec.out_sizes(x.shape[2:]), x.dtype)
+    plan = _plan_for(x, spec, out_sizes)
     m = mask if (mask is not None and mask.size) else None
     xp, pr, bnd = _prep(x, offset, m, spec, plan)
     cols_t = _fwd_call(xp, pr, bnd, plan, cd, prec)
     return _untile(cols_t, plan)
 
 
-def _fused_columns_fwd(x, offset, mask, spec, precision):
-    return _fused_columns_impl(x, offset, mask, spec, precision), \
-        (x, offset, mask)
+def _fused_columns_fwd(x, offset, mask, spec, precision, out_sizes=None):
+    return _fused_columns_impl(x, offset, mask, spec, precision,
+                               out_sizes), (x, offset, mask)
 
 
-def _fused_columns_bwd(spec, precision, res, g):
+def _fused_columns_bwd(spec, precision, out_sizes, res, g):
     x, offset, mask = res
     cd, prec = _resolve(precision)
-    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
-                 spec.out_sizes(x.shape[2:]), x.dtype)
+    plan = _plan_for(x, spec, out_sizes)
     p = plan
     m = mask if (mask is not None and mask.size) else None
     xp, pr, bnd = _prep(x, offset, m, spec, plan)
     gcols_t = _retile(g.astype(jnp.float32), plan)
     gxp, gs = _bwd_call(xp, pr, bnd, gcols_t, plan, cd, prec)
+    gs = gs.sum(axis=2)                   # reduce channel parts
 
     gx = gxp[:, :, :p.Sflat].reshape((p.B, p.dg) + p.S + (p.Cg,))
     gx = jnp.moveaxis(gx, -1, 2).reshape((p.B, p.C) + p.S)
@@ -663,7 +700,8 @@ def _fused_columns_bwd(spec, precision, res, g):
 fused_columns.defvjp(_fused_columns_fwd, _fused_columns_bwd)
 
 
-def ineligible_reason(x, spec: DeformConvSpec) -> Optional[str]:
+def ineligible_reason(x, spec: DeformConvSpec,
+                      out_sizes=None) -> Optional[str]:
     """None if the fused kernel supports this config, else a reason."""
     if spec.ndim not in (2, 3):
         return "pallas kernel supports 2D and 3D only"
@@ -671,8 +709,7 @@ def ineligible_reason(x, spec: DeformConvSpec) -> Optional[str]:
         return f"unsupported dtype {x.dtype}"
     if x.shape[1] % spec.deformable_groups:
         return "channels not divisible by deformable_groups"
-    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
-                 spec.out_sizes(x.shape[2:]), x.dtype)
+    plan = _plan_for(x, spec, out_sizes)
     if plan.stream and jax.default_backend() == "tpu":
         # The HBM-streaming path (chunk DMA) is implemented and verified in
         # interpreter mode, but this environment's AOT TPU compiler crashes
@@ -683,14 +720,15 @@ def ineligible_reason(x, spec: DeformConvSpec) -> Optional[str]:
 
 
 def deform_conv_fused(x, offset, mask, weight, bias, spec: DeformConvSpec,
-                      precision: str = "tensorfloat32"):
+                      precision: str = "tensorfloat32", out_sizes=None):
     """Full fused N-d deformable conv: Pallas columns + grouped MXU GEMM.
 
     Matches the reference host pipeline (deformable_conv.cu:117-196,
     deformable_conv3d.cu:160-256): per-group GEMM out[g] = W[g] @ cols[g]
     plus bias broadcast."""
     B, C = x.shape[0], x.shape[1]
-    OS = spec.out_sizes(x.shape[2:])
+    OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
+          else tuple(out_sizes))
     P = math.prod(OS)
     K, g = spec.tap_count, spec.groups
     O = weight.shape[0]
@@ -699,7 +737,27 @@ def deform_conv_fused(x, offset, mask, weight, bias, spec: DeformConvSpec,
     if x.dtype == jnp.float16:
         x = x.astype(jnp.float32)
     mask_arr = mask if mask is not None else jnp.zeros((0,), x.dtype)
-    cols = fused_columns(x, offset, mask_arr, spec, precision)
+    plan = _Plan(spec, B, C, x.shape[2:], OS, x.dtype)
+    if _fuse_ok(plan, C, g, O):
+        osz = OS
+        # Chunk the batch so the per-slab output partials stay under the
+        # ~2GB XLA buffer limit (pure memory measure, results invariant).
+        per_sample = plan.dg * plan.NCP * plan.PPAD * (O // g) * 4
+        bstep = max(1, (1 << 30) // max(per_sample, 1))
+        while B % bstep:
+            bstep -= 1
+        chunks = []
+        for i in range(0, B, bstep):
+            sl = slice(i, i + bstep)
+            m_sl = mask_arr[sl] if mask_arr.size else mask_arr
+            chunks.append(fused_conv(x[sl], offset[sl], m_sl, weight,
+                                     spec, precision, g, osz))
+        out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+        if bias is not None:
+            out = out + bias.astype(out.dtype).reshape(
+                (1, -1) + (1,) * spec.ndim)
+        return out.astype(in_dtype)
+    cols = fused_columns(x, offset, mask_arr, spec, precision, OS)
     # (B, dg, K, P, Cg) -> (B, P, g, C/g, K); channel c = d*Cg + cg.
     cols = cols.transpose(0, 3, 1, 4, 2).reshape(B, P, C, K)
     cols = cols.reshape(B, P, g, C // g, K)
@@ -713,3 +771,476 @@ def deform_conv_fused(x, offset, mask, weight, bias, spec: DeformConvSpec,
         out = out + bias.astype(jnp.float32)[None, None, :]
     out = out.astype(in_dtype).reshape((B,) + OS + (O,))
     return jnp.moveaxis(out, -1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused path: gather + grouped GEMM in one kernel (columns never
+# materialize in HBM).  Replaces the reference's two-step im2col + cuBLAS
+# addmm_ pipeline (deformable_conv.cu:168-182) with a single pass.  Active
+# when each (deformable-group, channel-part) slab lies inside one conv
+# group, i.e. (C/groups) % CgP == 0; otherwise the columns path runs.
+# ---------------------------------------------------------------------------
+
+
+def _fuse_ok(plan: _Plan, C: int, groups: int, O: int) -> bool:
+    if (C // groups) % plan.CgP:
+        return False
+    p = plan
+    Og = O // groups
+    # Full VMEM footprint of the fused backward (the larger of the two):
+    # double-buffered blocks (x, pr, w2, gout) + scratch accumulators.
+    blocks = 2 * 4 * (p.SPAD * p.CgP + p.K0 * p.NR * p.KP
+                      + p.K0 * Og * p.KI * p.CgP + Og * p.PT)
+    scratch = 4 * (2 * p.CgP * p.KP + p.KI * p.CgP * p.PT + Og * p.PT
+                   + p.NR * p.KP)
+    return blocks + scratch <= 80 * 1024 * 1024
+
+
+def _w2_prep(weight, plan: _Plan, groups: int):
+    """weight (O, C/g, *kernel) -> (dg, NCP, K0, Og, KI*CgP).
+
+    Slab s = d*NCP + cp covers input channels [s*CgP, (s+1)*CgP) which live
+    in conv group gi = s // spg (spg slabs per group); w2 columns are
+    ki-major to match the kernel's acc2 layout."""
+    p = plan
+    O = weight.shape[0]
+    g = groups
+    Og = O // g
+    spg = (p.dg * p.NCP) // g
+    w = weight.reshape(g, Og, spg, p.CgP, p.K0, p.KI)
+    # -> (g, spg, K0, Og, KI, CgP) -> (slabs, K0, Og, KI*CgP)
+    w = w.transpose(0, 2, 4, 1, 5, 3).reshape(
+        g * spg, p.K0, Og, p.KI * p.CgP)
+    return w.reshape(p.dg, p.NCP, p.K0, Og, p.KI * p.CgP)
+
+
+def _w2_unprep(gw, plan: _Plan, O: int, groups: int, kernel):
+    """Inverse of _w2_prep for grad_weight: (dg, NCP, K0, Og, KI*CgP) ->
+    (O, C/g, *kernel)."""
+    p = plan
+    g = groups
+    Og = O // g
+    spg = (p.dg * p.NCP) // g
+    w = gw.reshape(g, spg, p.K0, Og, p.KI, p.CgP)
+    w = w.transpose(0, 3, 1, 5, 2, 4)          # (g, Og, spg, CgP, K0, KI)
+    return w.reshape((O, p.C // g) + tuple(kernel))
+
+
+def _gi_index(plan: _Plan, groups: int, d, cp):
+    """Conv-group index of slab (d, cp) for index_maps."""
+    spg = (plan.dg * plan.NCP) // groups
+    return (d * plan.NCP + cp) // spg
+
+
+def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, acc_ref,
+                      acc2_ref, oacc_ref, *scratch, plan, cd, prec):
+    p = plan
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(3)
+    if p.stream:
+        xbuf, xsem = scratch
+
+        def load_x(ci):
+            dma = pltpu.make_async_copy(
+                x_ref.at[b, dgi, 0, pl.ds(ci * p.SCH, p.SCH), :], xbuf,
+                xsem)
+            dma.start()
+            dma.wait()
+            return xbuf[...].astype(cd)
+    else:
+        def load_x(ci):
+            return x_ref[0, 0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
+    oacc_ref[...] = jnp.zeros_like(oacc_ref)
+
+    for kg in range(p.K0):
+        pr_k = pr_ref[0, 0, 0, kg]
+        svl = pr_k[_R_SVL:_R_SVL + 1]
+        svh = pr_k[_R_SVH:_R_SVH + 1]
+        lo = bnd_ref[b, dgi, t, kg, 0]
+        hi = bnd_ref[b, dgi, t, kg, 1]
+        hoisted = {}
+        for d in range(1, p.nd):
+            if p.hoist[d]:
+                qd = ((qi // p.qstride[d]) % p.S[d]).astype(jnp.float32)
+                hoisted[d] = _factor_d(pr_k, qd, d)[0]
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, hoisted=hoisted):
+            qflat = qi + ci * p.SCH
+            q0 = (qflat // p.qstride[0]).astype(jnp.float32)
+            ev0, ev1 = _factor0(pr_k, q0)
+            A = ev0 * svl + ev1 * svh
+            for d in range(1, p.nd):
+                if d in hoisted:
+                    A = A * hoisted[d]
+                else:
+                    qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
+                        jnp.float32)
+                    A = A * _factor_d(pr_k, qd, d)[0]
+            xc = load_x(ci)
+            # cols accumulated channels-major: (CgP, KP) = x^T @ A — this
+            # orientation makes the acc->acc2 relayout a pure slice copy
+            # (in-kernel transposes do not lower on TPU).
+            acc_ref[...] += jax.lax.dot_general(
+                xc, A.astype(cd), (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+        # (CgP, KI*PT) -> (KI*CgP, PT) by slice copies, then the grouped
+        # GEMM on the MXU.
+        for ki in range(p.KI):
+            acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
+                acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+        w2k = w2_ref[0, 0, kg].astype(cd)               # (Og, KI*CgP)
+        oacc_ref[...] += jax.lax.dot_general(
+            w2k, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+
+    out_ref[0, 0, 0, 0] = oacc_ref[...]
+
+
+def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, gx_ref,
+                      gs_ref, gw_ref, sh_ref, acc_ref, acc2_ref, gcols_ref,
+                      *scratch, plan, cd, prec):
+    p = plan
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(3)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
+
+    if p.stream:
+        xbuf, gbuf, xsem, gsem = scratch
+
+        def load_x(ci):
+            dma = pltpu.make_async_copy(
+                x_ref.at[b, dgi, 0, pl.ds(ci * p.SCH, p.SCH), :], xbuf,
+                xsem)
+            dma.start()
+            dma.wait()
+            return xbuf[...].astype(cd)
+
+        def accum_gx(ci, gxc):
+            sl = pl.ds(ci * p.SCH, p.SCH)
+            rd = pltpu.make_async_copy(gx_ref.at[b, dgi, 0, sl, :], gbuf,
+                                       gsem)
+            rd.start()
+            rd.wait()
+            gbuf[...] += gxc
+            wr = pltpu.make_async_copy(gbuf, gx_ref.at[b, dgi, 0, sl, :],
+                                       gsem)
+            wr.start()
+            wr.wait()
+
+        @pl.when(t == 0)
+        def _():
+            gbuf[...] = jnp.zeros_like(gbuf)
+
+            def zero_chunk(ci, _):
+                wr = pltpu.make_async_copy(
+                    gbuf,
+                    gx_ref.at[b, dgi, 0, pl.ds(ci * p.SCH, p.SCH), :],
+                    gsem)
+                wr.start()
+                wr.wait()
+                return 0
+
+            jax.lax.fori_loop(0, p.NCH, zero_chunk, 0)
+    else:
+        def load_x(ci):
+            return x_ref[0, 0, 0, pl.ds(ci * p.SCH, p.SCH), :].astype(cd)
+
+        def accum_gx(ci, gxc):
+            gx_ref[0, 0, 0, pl.ds(ci * p.SCH, p.SCH), :] += gxc
+
+        @pl.when(t == 0)
+        def _():
+            gx_ref[...] = jnp.zeros_like(gx_ref)
+
+    @pl.when(t == 0)
+    def _():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gout = gout_ref[0, 0, 0].astype(cd)                 # (Og, PT)
+
+    for kg in range(p.K0):
+        pr_k = pr_ref[0, 0, 0, kg]
+        svl = pr_k[_R_SVL:_R_SVL + 1]
+        svh = pr_k[_R_SVH:_R_SVH + 1]
+        gl = pr_k[_R_GL:_R_GL + 1]
+        gh = pr_k[_R_GH:_R_GH + 1]
+        lo = bnd_ref[b, dgi, t, kg, 0]
+        hi = bnd_ref[b, dgi, t, kg, 1]
+        hoisted = {}
+        for d in range(1, p.nd):
+            if p.hoist[d]:
+                qd = ((qi // p.qstride[d]) % p.S[d]).astype(jnp.float32)
+                hoisted[d] = _factor_d(pr_k, qd, d)
+
+        # gcols for this tap group: w2^T @ gout, relayout channels-major
+        # (CgP, KP) via slice copies (in-kernel transposes don't lower).
+        w2k = w2_ref[0, 0, kg].astype(cd)               # (Og, KI*CgP)
+        gcols2 = jax.lax.dot_general(
+            w2k, gout, (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        for ki in range(p.KI):
+            gcols_ref[:, pl.ds(ki * p.PT, p.PT)] = \
+                gcols2[ki * p.CgP:(ki + 1) * p.CgP, :]
+        gcols = gcols_ref[...].astype(cd)               # (CgP, KP)
+
+        sh_ref[...] = jnp.zeros_like(sh_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, gl=gl, gh=gh,
+                 gcols=gcols, hoisted=hoisted):
+            qflat = qi + ci * p.SCH
+            q0 = (qflat // p.qstride[0]).astype(jnp.float32)
+            ev0, ev1 = _factor0(pr_k, q0)
+            F0 = ev0 * svl + ev1 * svh
+            dF0 = (ev1 - ev0) * (svl + svh)
+            F0g = ev0 * gl + ev1 * gh
+            Fs, dFs = [F0], [dF0]
+            for d in range(1, p.nd):
+                if d in hoisted:
+                    Fd, dFd = hoisted[d]
+                else:
+                    qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
+                        jnp.float32)
+                    Fd, dFd = _factor_d(pr_k, qd, d)
+                Fs.append(Fd)
+                dFs.append(dFd)
+            Frest = Fs[1]
+            for d in range(2, p.nd):
+                Frest = Frest * Fs[d]
+            A = F0 * Frest
+            Acd = A.astype(cd)
+            xc = load_x(ci)
+
+            # columns recompute for grad_weight (reference
+            # deformable_conv.cu:285 makes the same tradeoff).
+            acc_ref[...] += jax.lax.dot_general(
+                xc, Acd, (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+
+            gxc = jax.lax.dot_general(
+                Acd, gcols, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            accum_gx(ci, gxc)
+
+            M = jax.lax.dot_general(
+                xc, gcols, (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            t0 = Frest * M
+            sh_ref[0:1] += jnp.sum(dF0 * t0, axis=0, keepdims=True)
+            sh_ref[p.nd:p.nd + 1] += jnp.sum(F0g * t0, axis=0,
+                                             keepdims=True)
+            for d in range(1, p.nd):
+                prod = F0 * dFs[d]
+                for e in range(1, p.nd):
+                    if e != d:
+                        prod = prod * Fs[e]
+                sh_ref[d:d + 1] += jnp.sum(prod * M, axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+        gs_ref[0, 0, 0, 0, kg] = sh_ref[...]
+        for ki in range(p.KI):
+            acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
+                acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+        gw_ref[0, 0, 0, kg] += jax.lax.dot_general(
+            gout, acc2_ref[...].astype(cd), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+
+
+def _fused_conv_call(xp, pr, bnd, w2, plan: _Plan, Og, cd, prec):
+    p = plan
+    xdt = xp.dtype
+    if p.stream:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        extra = [pltpu.VMEM((p.SCH, p.CgP), xdt),
+                 pltpu.SemaphoreType.DMA(())]
+    else:
+        x_spec = pl.BlockSpec((1, 1, 1, p.SPAD, p.CgP),
+                              lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
+                              memory_space=pltpu.VMEM)
+        extra = []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p.B, p.dg, p.NCP, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((1, 1, p.K0, Og, p.KI * p.CgP),
+                         lambda b, d, cp, t, *_: (d, cp, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, 1, Og, p.PT),
+                               lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((p.CgP, p.KP), jnp.float32),
+                        pltpu.VMEM((p.KI * p.CgP, p.PT), jnp.float32),
+                        pltpu.VMEM((Og, p.PT), jnp.float32)] + extra,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_fused_kernel, plan=p, cd=cd, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (p.B, p.dg, p.NCP, p.NT, Og, p.PT), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(bnd, pr, xp, w2)
+
+
+def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan: _Plan, Og, cd,
+                         prec, groups):
+    p = plan
+    xdt = xp.dtype
+    if p.stream:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        gx_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        extra = [pltpu.VMEM((p.SCH, p.CgP), xdt),
+                 pltpu.VMEM((p.SCH, p.CgP), jnp.float32),
+                 pltpu.SemaphoreType.DMA(()),
+                 pltpu.SemaphoreType.DMA(())]
+    else:
+        x_spec = pl.BlockSpec((1, 1, 1, p.SPAD, p.CgP),
+                              lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
+                              memory_space=pltpu.VMEM)
+        gx_spec = pl.BlockSpec((1, 1, 1, p.SPAD, p.CgP),
+                               lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
+                               memory_space=pltpu.VMEM)
+        extra = []
+    spg = (p.dg * p.NCP) // groups
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p.B, p.dg, p.NCP, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((1, 1, p.K0, Og, p.KI * p.CgP),
+                         lambda b, d, cp, t, *_: (d, cp, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Og, p.PT),
+                         lambda b, d, cp, t, *_:
+                         (b, (d * p.NCP + cp) // spg, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            gx_spec,
+            pl.BlockSpec((1, 1, 1, 1, p.K0, p.NR, p.KP),
+                         lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K0, Og, p.KI * p.CgP),
+                         lambda b, d, cp, t, *_: (b, d, cp, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((p.NR, p.KP), jnp.float32),
+                        pltpu.VMEM((p.CgP, p.KP), jnp.float32),
+                        pltpu.VMEM((p.KI * p.CgP, p.PT), jnp.float32),
+                        pltpu.VMEM((p.CgP, p.KP), jnp.float32)] + extra,
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, plan=p, cd=cd, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.SPAD, p.CgP),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.NT, p.K0, p.NR,
+                                  p.KP), jnp.float32),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.K0, Og,
+                                  p.KI * p.CgP), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(bnd, pr, xp, w2, gout_t)
+
+
+def _out_from_partials(outp, plan: _Plan, O, groups, OS):
+    """(B, dg, NCP, NT, Og, PT) partials -> (B, O, *OS)."""
+    p = plan
+    g = groups
+    Og = O // g
+    spg = (p.dg * p.NCP) // g
+    o = outp.reshape(p.B, g, spg, p.NT, Og, p.PT).sum(axis=2)
+    o = o.transpose(0, 1, 3, 2, 4)              # (B, g, Og, NT, PT)
+    o = o.reshape(p.B, O, p.PPAD)[:, :, :p.P]
+    return o.reshape((p.B, O) + tuple(OS))
+
+
+def _gout_tiles(g_out, plan: _Plan, O, groups):
+    """(B, O, *OS) cotangent -> (B, g, NT, Og, PT) tiles."""
+    p = plan
+    g = groups
+    Og = O // g
+    go = g_out.reshape(p.B, O, p.P).astype(jnp.float32)
+    go = jnp.pad(go, ((0, 0), (0, 0), (0, p.PPAD - p.P)))
+    go = go.reshape(p.B, g, Og, p.NT, p.PT)
+    return go.transpose(0, 1, 3, 2, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_conv(x, offset, mask, weight, spec: DeformConvSpec,
+               precision: str, groups: int, out_sizes=None):
+    """Whole fused deformable conv (no bias): gather + grouped GEMM in one
+    Pallas kernel, hand-written VJPs for x/offset/mask/weight."""
+    return _fused_conv_impl(x, offset, mask, weight, spec, precision,
+                            groups, out_sizes)
+
+
+def _fused_conv_impl(x, offset, mask, weight, spec, precision, groups,
+                     out_sizes=None):
+    cd, prec = _resolve(precision)
+    OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
+          else tuple(out_sizes))
+    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:], OS, x.dtype)
+    O = weight.shape[0]
+    m = mask if (mask is not None and mask.size) else None
+    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    w2 = _w2_prep(weight.astype(jnp.float32), plan, groups)
+    outp = _fused_conv_call(xp, pr, bnd, w2, plan, O // groups, cd, prec)
+    return _out_from_partials(outp, plan, O, groups, OS)
+
+
+def _fused_conv_fwd(x, offset, mask, weight, spec, precision, groups,
+                    out_sizes=None):
+    return _fused_conv_impl(x, offset, mask, weight, spec, precision,
+                            groups, out_sizes), (x, offset, mask, weight)
+
+
+def _fused_conv_bwd(spec, precision, groups, out_sizes, res, g_out):
+    x, offset, mask, weight = res
+    cd, prec = _resolve(precision)
+    OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
+          else tuple(out_sizes))
+    plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:], OS, x.dtype)
+    p = plan
+    O = weight.shape[0]
+    m = mask if (mask is not None and mask.size) else None
+    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    w2 = _w2_prep(weight.astype(jnp.float32), plan, groups)
+    gout_t = _gout_tiles(g_out, plan, O, groups)
+    gxp, gs, gw = _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan,
+                                       O // groups, cd, prec, groups)
+
+    gxp = gxp.transpose(0, 1, 3, 2, 4).reshape(p.B, p.dg, p.SPAD, p.Cg)
+    gx = gxp[:, :, :p.Sflat].reshape((p.B, p.dg) + p.S + (p.Cg,))
+    gx = jnp.moveaxis(gx, -1, 2).reshape((p.B, p.C) + p.S).astype(x.dtype)
+
+    gs = gs.sum(axis=2)
+    s = _unpack_s(gs, plan)
+    goff = jnp.stack(s[:p.nd], axis=3).reshape(offset.shape)
+    goff = goff.astype(offset.dtype)
+    if m is None:
+        gmask = jnp.zeros_like(mask) if mask is not None else None
+    else:
+        gmask = s[p.nd].reshape(mask.shape).astype(mask.dtype)
+
+    gweight = _w2_unprep(gw.sum(axis=0), plan, O, groups, spec.kernel)
+    gweight = gweight.astype(weight.dtype)
+    return gx, goff, gmask, gweight
+
+
+fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)

@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils.config import DeformConvSpec
 from ..ops import core
+from ..ops import api as ops_api
 
 try:  # JAX >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
@@ -158,10 +159,11 @@ def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
         deformable_groups=spec.deformable_groups, in_step=spec.in_step,
         modulated=spec.modulated)
     # The local output grid is fixed by the offset shard, not derivable from
-    # the halo-extended input block.
+    # the halo-extended input block.  Dispatch through the api so each shard
+    # uses the fused Pallas kernel on TPU.
     local_os = (out_h_local,) + tuple(off_l.shape[2 + 1:])
-    return core.deform_conv_nd(x_ext, off_shifted, mask_l, weight, bias,
-                               local_spec, out_sizes=local_os)
+    return ops_api._dispatch(x_ext, off_shifted, mask_l, weight, bias,
+                             local_spec, impl="auto", out_sizes=local_os)
 
 
 def sharded_deform_conv(x: jax.Array, offset: jax.Array,
@@ -227,7 +229,8 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
         if n_s > 1:
             return _local_conv(x_l, off_l, mask_l, w_l, b_l, spec, halo,
                                spatial_axis, n_s, OH // n_s, H // n_s)
-        return core.deform_conv_nd(x_l, off_l, mask_l, w_l, b_l, spec)
+        return ops_api._dispatch(x_l, off_l, mask_l, w_l, b_l, spec,
+                                 impl="auto")
 
     args = (x, offset) + ((mask,) if mask is not None else ()) + (weight,) \
         + ((bias,) if bias is not None else ())

@@ -53,6 +53,7 @@ CONFIGS = [
     (1, 16, 13, 9, 3, 2, 2, 2, 2, 2),   # odd sizes, OH % T != 0
     (2, 8, 8, 8, 1, 1, 1, 1, 0, 1),     # 1x1 kernel
     (1, 16, 10, 7, 2, 1, 2, 2, 1, 1),   # even kernel
+    (2, 16, 9, 8, 3, 2, 1, 1, 1, 1),    # g=2 dg=1: unfused-GEMM fallback
 ]
 
 
@@ -83,6 +84,32 @@ def test_gradients_match_xla():
     for got, want, name in zip(gp, gx, ["x", "offset", "mask", "w", "b"]):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_gradients_unfused_fallback():
+    """g=2, dg=1 misaligns channel slabs and conv groups, exercising the
+    fused_columns (+ XLA GEMM) path instead of the fully fused kernel."""
+    from modulated_deform_conv_tpu.ops.pallas import gathermm as gm
+    x, off, mask, w, b, kw = _mk(*CONFIGS[4])
+    spec = DeformConvSpec.make(2, (3, 3), 1, 1, 1, 2, 1, 0, modulated=True)
+    plan = gm._Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                    spec.out_sizes(x.shape[2:]), x.dtype)
+    assert not gm._fuse_ok(plan, x.shape[1], 2, 16)
+
+    def loss(impl):
+        def f(x, off, mask, w, b):
+            o = mdc.modulated_deform_conv2d(x, off, mask, w, b, **kw,
+                                            impl=impl, precision="float32")
+            return jnp.sum(o * o)
+        return f
+
+    gp = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3, 4)))(
+        x, off, mask, w, b)
+    gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3, 4)))(
+        x, off, mask, w, b)
+    for got, want, name in zip(gp, gx, ["x", "offset", "mask", "w", "b"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
 
 
 def test_gradients_plain_op():
@@ -219,3 +246,35 @@ def test_streaming_mode_matches_resident(monkeypatch):
     for a, bb, name in zip(gstream, gref, ["x", "offset", "mask"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_channel_part_split_matches(monkeypatch):
+    """When the input plane exceeds the VMEM budget, channels split across
+    a grid dimension; results (and all grads) must match the unsplit path."""
+    from modulated_deform_conv_tpu.ops.pallas import gathermm as gm
+    x, off, mask, w, b, kw = _mk(*CONFIGS[0])
+
+    def loss(x, off, mask, w, b):
+        o = mdc.modulated_deform_conv2d(x, off, mask, w, b, **kw,
+                                        impl="pallas", precision="float32")
+        return jnp.sum(o * o)
+
+    want = _run(x, off, mask, w, b, kw, "pallas")
+    gref = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, off, mask, w, b)
+
+    # C=16, H=9 (SPAD 16), W=8: plane 16*8*16*4 = 8KB; budget 4KB -> NCP=2.
+    monkeypatch.setattr(gm, "_X_PLANE_BUDGET", 4 * 1024)
+    spec = DeformConvSpec.make(2, (3, 3), *CONFIGS[0][7:10], CONFIGS[0][5],
+                               CONFIGS[0][6], 0, modulated=True)
+    plan = gm._Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                    spec.out_sizes(x.shape[2:]), x.dtype)
+    assert plan.NCP == 2 and not plan.stream
+    got = _run(x, off, mask, w, b, kw, "pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    gsplit = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, off, mask, w, b)
+    # offset/mask grads reduce over channel parts in a different f32
+    # summation order than the unsplit path.
+    for a, bb, name in zip(gsplit, gref, ["x", "offset", "mask"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-5, atol=1e-3, err_msg=name)
