@@ -141,6 +141,13 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "suite_results.json")
+    if args.only and os.path.exists(out):
+        # filtered runs merge into the existing results
+        with open(out) as f:
+            prev = json.load(f)
+        prev.get("cases", {}).update(results["cases"])
+        prev["device"] = results["device"]
+        results = prev
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     log(f"wrote {out}")

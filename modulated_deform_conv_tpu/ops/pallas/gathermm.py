@@ -356,8 +356,8 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
         pr_k = pr_ref[0, 0, 0, kg]
         svl = pr_k[_R_SVL:_R_SVL + 1]
         svh = pr_k[_R_SVH:_R_SVH + 1]
-        lo = bnd_ref[b, dgi, t, kg, 0]
-        hi = bnd_ref[b, dgi, t, kg, 1]
+        lo = bnd_ref[0, 0, 0, kg, 0]
+        hi = bnd_ref[0, 0, 0, kg, 1]
         # Dims whose pattern period divides SCH are chunk-invariant.
         hoisted = {}
         for d in range(1, p.nd):
@@ -452,8 +452,8 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
         gl = pr_k[_R_GL:_R_GL + 1]
         gh = pr_k[_R_GH:_R_GH + 1]
         gcols = gcols_ref[0, 0, 0, 0, kg].astype(cd)     # (KP, CgP)
-        lo = bnd_ref[b, dgi, t, kg, 0]
-        hi = bnd_ref[b, dgi, t, kg, 1]
+        lo = bnd_ref[0, 0, 0, kg, 0]
+        hi = bnd_ref[0, 0, 0, kg, 1]
         hoisted = {}
         for d in range(1, p.nd):
             if p.hoist[d]:
@@ -524,10 +524,15 @@ def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
                               lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
                               memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((p.KP, p.CgP), jnp.float32)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NCP, p.NT),
         in_specs=[
+            # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
+            # prefetch: prefetched arrays must fit SMEM whole, which caps
+            # the grid at ~3k tiles (compile crash beyond).
+            pl.BlockSpec((1, 1, 1, p.K0, 2),
+                         lambda b, d, cp, t: (b, d, t, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -574,10 +579,15 @@ def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
     # gcols with explicit part dim, matching xp's channel split.
     gcols_t = gcols_t.reshape(p.B, p.dg, p.NT, p.K0, p.KP, p.NCP, p.CgP)
     gcols_t = gcols_t.transpose(0, 1, 5, 2, 3, 4, 6)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NCP, p.NT),
         in_specs=[
+            # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
+            # prefetch: prefetched arrays must fit SMEM whole, which caps
+            # the grid at ~3k tiles (compile crash beyond).
+            pl.BlockSpec((1, 1, 1, p.K0, 2),
+                         lambda b, d, cp, t: (b, d, t, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -710,6 +720,13 @@ def ineligible_reason(x, spec: DeformConvSpec,
     if x.shape[1] % spec.deformable_groups:
         return "channels not divisible by deformable_groups"
     plan = _plan_for(x, spec, out_sizes)
+    if (plan.NCP > 1 and plan.SPAD >= 98304
+            and jax.default_backend() == "tpu"):
+        # Empirical AOT-toolchain bug: channel-part grids over planes with
+        # >= ~98k flat positions crash the compiler (any block size, any
+        # part count); single-part blocks up to 50MB are fine.
+        return ("channel-part split over a large plane crashes the current "
+                "TPU toolchain")
     if plan.stream and jax.default_backend() == "tpu":
         # The HBM-streaming path (chunk DMA) is implemented and verified in
         # interpreter mode, but this environment's AOT TPU compiler crashes
@@ -857,8 +874,8 @@ def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, acc_ref,
         pr_k = pr_ref[0, 0, 0, kg]
         svl = pr_k[_R_SVL:_R_SVL + 1]
         svh = pr_k[_R_SVH:_R_SVH + 1]
-        lo = bnd_ref[b, dgi, t, kg, 0]
-        hi = bnd_ref[b, dgi, t, kg, 1]
+        lo = bnd_ref[0, 0, 0, kg, 0]
+        hi = bnd_ref[0, 0, 0, kg, 1]
         hoisted = {}
         for d in range(1, p.nd):
             if p.hoist[d]:
@@ -968,8 +985,8 @@ def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, gx_ref,
         svh = pr_k[_R_SVH:_R_SVH + 1]
         gl = pr_k[_R_GL:_R_GL + 1]
         gh = pr_k[_R_GH:_R_GH + 1]
-        lo = bnd_ref[b, dgi, t, kg, 0]
-        hi = bnd_ref[b, dgi, t, kg, 1]
+        lo = bnd_ref[0, 0, 0, kg, 0]
+        hi = bnd_ref[0, 0, 0, kg, 1]
         hoisted = {}
         for d in range(1, p.nd):
             if p.hoist[d]:
@@ -1063,10 +1080,15 @@ def _fused_conv_call(xp, pr, bnd, w2, plan: _Plan, Og, cd, prec):
                               lambda b, d, cp, t, *_: (b, d, cp, 0, 0),
                               memory_space=pltpu.VMEM)
         extra = []
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NCP, p.NT),
         in_specs=[
+            # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
+            # prefetch: prefetched arrays must fit SMEM whole, which caps
+            # the grid at ~3k tiles (compile crash beyond).
+            pl.BlockSpec((1, 1, 1, p.K0, 2),
+                         lambda b, d, cp, t: (b, d, t, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1112,10 +1134,15 @@ def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan: _Plan, Og, cd,
                                memory_space=pltpu.VMEM)
         extra = []
     spg = (p.dg * p.NCP) // groups
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NCP, p.NT),
         in_specs=[
+            # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
+            # prefetch: prefetched arrays must fit SMEM whole, which caps
+            # the grid at ~3k tiles (compile crash beyond).
+            pl.BlockSpec((1, 1, 1, p.K0, 2),
+                         lambda b, d, cp, t: (b, d, t, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
                          lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
