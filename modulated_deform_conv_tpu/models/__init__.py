@@ -2,11 +2,11 @@ from .modules import (DeformConv2d, ModulatedDeformConv2d, DeformConv3d,
                       ModulatedDeformConv3d, DeformConv2dPack,
                       ModulatedDeformConv2dPack, DeformConv3dPack,
                       ModulatedDeformConv3dPack)
-from .backbone import ConvBN, DCNBottleneck, DCNStage
+from .backbone import ConvBN, DCNBottleneck, DCNStage, DCNResNet
 
 __all__ = [
     "DeformConv2d", "ModulatedDeformConv2d", "DeformConv3d",
     "ModulatedDeformConv3d", "DeformConv2dPack", "ModulatedDeformConv2dPack",
     "DeformConv3dPack", "ModulatedDeformConv3dPack",
-    "ConvBN", "DCNBottleneck", "DCNStage",
+    "ConvBN", "DCNBottleneck", "DCNStage", "DCNResNet",
 ]

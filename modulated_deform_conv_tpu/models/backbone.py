@@ -39,25 +39,32 @@ class ConvBN(nn.Module):
 
 class DCNBottleneck(nn.Module):
     """ResNet bottleneck with the 3x3 conv replaced by DCNv2 Pack
-    (zero-init offsets + sigmoid mask, the stable training configuration)."""
+    (zero-init offsets + sigmoid mask, the stable training configuration),
+    or a plain 3x3 conv when `deformable=False`."""
     channels: int           # bottleneck width
     out_channels: int
     deformable_groups: int = 1
+    stride: int = 1
+    deformable: bool = True
 
     @nn.compact
     def __call__(self, x):
         identity = x
         y = ConvBN(self.channels, kernel=1)(x)
-        y = ModulatedDeformConv2dPack(
-            in_channels=self.channels, out_channels=self.channels,
-            kernel_size=3, padding=1,
-            deformable_groups=self.deformable_groups,
-            zero_init_offset=True, sigmoid_mask=True, name="dcn")(y)
+        if self.deformable:
+            y = ModulatedDeformConv2dPack(
+                in_channels=self.channels, out_channels=self.channels,
+                kernel_size=3, stride=self.stride, padding=1,
+                deformable_groups=self.deformable_groups,
+                zero_init_offset=True, sigmoid_mask=True, name="dcn")(y)
+        else:
+            y = ConvBN(self.channels, kernel=3, stride=self.stride,
+                       name="conv2")(y)
         y = jax.nn.relu(y)
         y = ConvBN(self.out_channels, kernel=1, relu=False)(y)
-        if x.shape[1] != self.out_channels:
+        if x.shape[1] != self.out_channels or self.stride != 1:
             identity = ConvBN(self.out_channels, kernel=1, relu=False,
-                              name="proj")(x)
+                              stride=self.stride, name="proj")(x)
         return jax.nn.relu(y + identity)
 
 
@@ -67,10 +74,55 @@ class DCNStage(nn.Module):
     channels: int
     out_channels: int
     deformable_groups: int = 1
+    stride: int = 1
+    deformable: bool = True
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.blocks):
             x = DCNBottleneck(self.channels, self.out_channels,
-                              self.deformable_groups, name=f"block{i}")(x)
+                              self.deformable_groups,
+                              stride=self.stride if i == 0 else 1,
+                              deformable=self.deformable,
+                              name=f"block{i}")(x)
         return x
+
+
+class DCNResNet(nn.Module):
+    """ResNet-D with DCNv2 in stages c3-c5 — the flagship configuration of
+    the DCN papers (Dai et al. 2017 §4.1; Zhu et al. 2018 §5.1: "apply
+    deformable convolution in all the 3x3 conv layers in stages conv3-5").
+
+    depth 50 -> blocks (3, 4, 6, 3).  NCHW in, class logits out (or the
+    c2..c5 feature pyramid with `features_only=True`).
+    """
+    num_classes: int = 1000
+    depth: int = 50
+    deformable_groups: int = 1
+    width: int = 64
+    features_only: bool = False
+
+    _BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = self._BLOCKS[self.depth]
+        w = self.width
+        # stem: 7x7/2 conv + 3x3/2 max pool
+        y = ConvBN(w, kernel=7, stride=2, name="stem")(x)
+        y = jnp.moveaxis(nn.max_pool(jnp.moveaxis(y, 1, -1), (3, 3),
+                                     strides=(2, 2), padding=((1, 1),) * 2),
+                         -1, 1)
+        feats = []
+        for i, n in enumerate(blocks):
+            y = DCNStage(blocks=n, channels=w * 2 ** i,
+                         out_channels=w * 4 * 2 ** i,
+                         deformable_groups=self.deformable_groups,
+                         stride=1 if i == 0 else 2,
+                         deformable=(i >= 1),   # DCN in c3..c5
+                         name=f"c{i + 2}")(y)
+            feats.append(y)
+        if self.features_only:
+            return tuple(feats)
+        y = jnp.mean(y, axis=(2, 3))
+        return nn.Dense(self.num_classes, name="fc")(y)
