@@ -133,3 +133,52 @@ def test_jit_and_vmap_compose():
     assert vout.shape == (2,) + out.shape
     np.testing.assert_allclose(np.asarray(vout[0]), np.asarray(out),
                                rtol=1e-6)
+
+
+def test_bfloat16_inputs_both_impls():
+    """bf16 inputs run on both paths (reference dispatches fp16 via
+    AT_DISPATCH_FLOATING_TYPES_AND_HALF, deformable_conv.cu:99)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import modulated_deform_conv_tpu as mdc
+
+    rng = np.random.default_rng(3)
+    B, C, H, W, k, dg = 1, 16, 8, 8, 3, 2
+    K = k * k
+    x = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.bfloat16)
+    off = jnp.asarray(rng.uniform(-1, 1, (B, dg * 2 * K, H, W)), jnp.bfloat16)
+    m = jnp.asarray(rng.uniform(0, 1, (B, dg * K, H, W)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((C, C, k, k)), jnp.bfloat16)
+
+    def loss(impl):
+        def f(x, off, m, w):
+            o = mdc.modulated_deform_conv2d(
+                x, off, m, w, None, stride=1, padding=1,
+                deformable_groups=dg, impl=impl)
+            assert o.dtype == jnp.bfloat16
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return f
+
+    ref = float(jax.jit(loss("xla"))(x, off, m, w))
+    got = float(jax.jit(loss("pallas"))(x, off, m, w))
+    assert abs(got - ref) / (abs(ref) + 1e-9) < 0.05
+    gs = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3)))(x, off, m, w)
+    assert all(g.dtype == jnp.bfloat16 for g in gs)
+
+
+def test_float16_inputs_upcast():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import modulated_deform_conv_tpu as mdc
+
+    rng = np.random.default_rng(4)
+    B, C, H, W, k = 1, 8, 6, 6, 3
+    K = k * k
+    x = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.float16)
+    off = jnp.zeros((B, 2 * K, H, W), jnp.float16)
+    w = jnp.asarray(rng.standard_normal((C, C, k, k)), jnp.float16)
+    out = jax.jit(lambda *a: mdc.deform_conv2d(
+        *a, None, stride=1, padding=1, impl="pallas"))(x, off, w)
+    assert out.dtype == jnp.float16
