@@ -75,24 +75,53 @@ def measure_amortized(step, args, iters, n_lo=2, n_hi=12):
 
 
 def peak_matmul_flops(dtype, iters=8):
-    """Measured on-chip matmul rate (FLOP/s) in `dtype` — the roofline
-    denominator (hardware-adaptive, no hardcoded specs)."""
+    """Measured on-chip matmul rate (FLOP/s) in `dtype` — the compute
+    roofline denominator.  Uses chain differencing so the fixed dispatch
+    latency (~30ms on the axon tunnel) cancels; a single short chain would
+    under-measure peak ~3x and flatter vs_baseline."""
     import jax
     import jax.numpy as jnp
     n = 4096
-    reps = 8  # chain matmuls so dispatch/readback overhead amortizes
     a = jnp.full((n, n), 1.0 / n, dtype)  # ones/n: chain stays bounded
     b = jnp.full((n, n), 1.0 / n, dtype)
 
-    @jax.jit
-    def f(a, b):
-        x = a
-        for _ in range(reps):
-            x = x @ b
-        return jnp.sum(x)
+    def chain(reps):
+        @jax.jit
+        def f(a, b):
+            x = a
+            for _ in range(reps):
+                x = x @ b
+            return jnp.sum(x)
+        return f
 
-    t, _ = measure(f, (a, b), iters)
-    return reps * 2 * n * n * n / t
+    t_lo, _ = measure(chain(4), (a, b), iters)
+    t_hi, _ = measure(chain(36), (a, b), iters)
+    t = max((t_hi - t_lo) / 32, 1e-12)
+    return 2 * n * n * n / t
+
+
+def peak_hbm_bandwidth(iters=6):
+    """Measured HBM copy bandwidth (bytes/s moved: read+write), for the
+    memory-roofline term."""
+    import jax
+    import jax.numpy as jnp
+    buf = jnp.ones((64, 1024, 1024), jnp.float32)  # 256MB
+
+    def chain(reps):
+        @jax.jit
+        def f(x):
+            # scan carry round-trips HBM every step (a python loop of
+            # multiplies would fuse into one pass and measure fiction)
+            def body(c, s):
+                return c * s, ()
+            y, _ = jax.lax.scan(body, x, jnp.full((reps,), 1.000001))
+            return jnp.sum(y[0, 0, :8])
+        return f
+
+    t_lo, _ = measure(chain(2), (buf,), iters)
+    t_hi, _ = measure(chain(10), (buf,), iters)
+    t = max((t_hi - t_lo) / 8, 1e-12)
+    return 2 * buf.nbytes / t
 
 
 def main():
@@ -143,10 +172,20 @@ def main():
     samples_s = B / t_fb
     samples_s_fwd = B / t_fwd
 
-    # Roofline: GEMM FLOPs per sample (fwd GEMM + dgrad GEMM + wgrad GEMM).
+    # Roofline = tighter of compute and memory bounds per sample:
+    #  - compute: GEMM FLOPs (fwd GEMM + dgrad GEMM + wgrad GEMM) at the
+    #    measured peak matmul rate;
+    #  - memory: the tensors any implementation must move for fwd+bwd
+    #    (read x/offset/mask/out-cotangent, write out + 3 input-grads;
+    #    weights amortize over the batch) at measured HBM bandwidth.
     gemm_flops_per_sample = 3 * 2 * OH * OW * O * (C // g) * K
+    bytes_per_sample = 2 * 4 * (C * H * W + dg * 3 * K * OH * OW
+                                + O * OH * OW)
     peak = peak_matmul_flops(dtype, iters=3 if args.quick else 8)
-    roofline_samples_s = peak / gemm_flops_per_sample
+    bw = peak_hbm_bandwidth(iters=3 if args.quick else 6)
+    t_compute = gemm_flops_per_sample / peak
+    t_memory = bytes_per_sample / bw
+    roofline_samples_s = 1.0 / max(t_compute, t_memory)
     target = 0.70 * roofline_samples_s
     vs_baseline = samples_s / target
 
@@ -160,7 +199,9 @@ def main():
         "samples_per_s_fwd": samples_s_fwd,
         "samples_per_s_fwdbwd": samples_s,
         "measured_peak_matmul_tflops": peak / 1e12,
+        "measured_hbm_bw_gbs": bw / 1e9,
         "gemm_flops_per_sample": gemm_flops_per_sample,
+        "min_bytes_per_sample": bytes_per_sample,
         "roofline_samples_per_s": roofline_samples_s,
         "roofline_fraction": samples_s / roofline_samples_s,
         "target_fraction": 0.70,
