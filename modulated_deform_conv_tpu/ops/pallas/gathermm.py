@@ -164,6 +164,7 @@ class _Plan:
         # Factor rows in pr: 5 + 2*(nd-1), padded to a sublane multiple.
         self.NR = 8 if self.nd == 2 else 16
 
+
         # Channel-part split: when the (SPAD, Cg) plane exceeds the VMEM
         # residency budget, split channels across a grid dimension (the
         # gather is channel-independent).  Streaming (HBM chunk DMA) is the
@@ -178,6 +179,13 @@ class _Plan:
         self.stream = self.SPAD * self.CgP * 4 > _X_PLANE_BUDGET
         if self.stream:
             self.NCP, self.CgP = 1, self.Cg
+
+        # Save bf16 columns as a forward residual when affordable: the
+        # backward then skips its column-recompute matmul (1 of 3).  The
+        # reference always recomputes (deformable_conv.cu:285); here it is
+        # a memory/compute tradeoff decided by residual size.
+        cols_bytes = self.B * self.dg * self.NCP * self.PPAD * self.K * 2
+        self.save_cols = cols_bytes <= 512 * 1024 * 1024
 
     def qstride_of(self, d):
         return self.qstride[d]
@@ -356,31 +364,37 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
         pr_k = pr_ref[0, 0, 0, kg]
         svl = pr_k[_R_SVL:_R_SVL + 1]
         svh = pr_k[_R_SVH:_R_SVH + 1]
+        l0 = pr_k[_R_L0:_R_L0 + 1]
         lo = bnd_ref[0, 0, 0, kg, 0]
         hi = bnd_ref[0, 0, 0, kg, 1]
-        # Dims whose pattern period divides SCH are chunk-invariant.
-        hoisted = {}
+        # Chunk-invariant factor product, pre-scaled by the two vertical
+        # corner weights (see _fwd_fused_kernel).
+        hp = None
         for d in range(1, p.nd):
             if p.hoist[d]:
                 qd = ((qi // p.qstride[d]) % p.S[d]).astype(jnp.float32)
-                hoisted[d] = _factor_d(pr_k, qd, d)[0]
+                Fd = _factor_d(pr_k, qd, d)[0]
+                hp = Fd if hp is None else hp * Fd
+        AL = (svl * hp if hp is not None else
+              jnp.broadcast_to(svl, (p.SCH, p.KP))).astype(cd)
+        AH = (svh * hp if hp is not None else
+              jnp.broadcast_to(svh, (p.SCH, p.KP))).astype(cd)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, hoisted=hoisted):
+        def body(ci, _, pr_k=pr_k, l0=l0, AL=AL, AH=AH):
             qflat = qi + ci * p.SCH
             q0 = (qflat // p.qstride[0]).astype(jnp.float32)
-            ev0, ev1 = _factor0(pr_k, q0)
-            A = ev0 * svl + ev1 * svh
+            zero = jnp.zeros((), cd)
+            A = (jnp.where(q0 == l0, AL, zero)
+                 + jnp.where(q0 == l0 + 1.0, AH, zero))
             for d in range(1, p.nd):
-                if d in hoisted:
-                    A = A * hoisted[d]
-                else:
+                if not p.hoist[d]:
                     qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
                         jnp.float32)
-                    A = A * _factor_d(pr_k, qd, d)[0]
+                    A = A * _factor_d(pr_k, qd, d)[0].astype(cd)
             xc = load_x(ci)
             acc_ref[...] += jax.lax.dot_general(
-                A.astype(cd), xc, (((0,), (0,)), ((), ())),
+                A, xc, (((0,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32)
             return 0
 
@@ -849,9 +863,14 @@ def _gi_index(plan: _Plan, groups: int, d, cp):
     return (d * plan.NCP + cp) // spg
 
 
-def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, acc_ref,
-                      acc2_ref, oacc_ref, *scratch, plan, cd, prec):
+def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, *rest,
+                      plan, cd, prec):
     p = plan
+    if p.save_cols:
+        cols2_ref, acc_ref, acc2_ref, oacc_ref, *scratch = rest
+    else:
+        cols2_ref = None
+        acc_ref, acc2_ref, oacc_ref, *scratch = rest
     b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(3)
     if p.stream:
         xbuf, xsem = scratch
@@ -874,33 +893,41 @@ def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, acc_ref,
         pr_k = pr_ref[0, 0, 0, kg]
         svl = pr_k[_R_SVL:_R_SVL + 1]
         svh = pr_k[_R_SVH:_R_SVH + 1]
+        l0 = pr_k[_R_L0:_R_L0 + 1]
         lo = bnd_ref[0, 0, 0, kg, 0]
         hi = bnd_ref[0, 0, 0, kg, 1]
-        hoisted = {}
+        # Pre-scale the chunk-invariant factor product by the two vertical
+        # corner weights (one rounding, fewer per-chunk VPU passes; selects
+        # below run in the compute dtype directly).
+        hp = None
         for d in range(1, p.nd):
             if p.hoist[d]:
                 qd = ((qi // p.qstride[d]) % p.S[d]).astype(jnp.float32)
-                hoisted[d] = _factor_d(pr_k, qd, d)[0]
+                Fd = _factor_d(pr_k, qd, d)[0]
+                hp = Fd if hp is None else hp * Fd
+        AL = (svl * hp if hp is not None else
+              jnp.broadcast_to(svl, (p.SCH, p.KP))).astype(cd)
+        AH = (svh * hp if hp is not None else
+              jnp.broadcast_to(svh, (p.SCH, p.KP))).astype(cd)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, hoisted=hoisted):
+        def body(ci, _, pr_k=pr_k, l0=l0, AL=AL, AH=AH):
             qflat = qi + ci * p.SCH
             q0 = (qflat // p.qstride[0]).astype(jnp.float32)
-            ev0, ev1 = _factor0(pr_k, q0)
-            A = ev0 * svl + ev1 * svh
+            zero = jnp.zeros((), cd)
+            A = (jnp.where(q0 == l0, AL, zero)
+                 + jnp.where(q0 == l0 + 1.0, AH, zero))
             for d in range(1, p.nd):
-                if d in hoisted:
-                    A = A * hoisted[d]
-                else:
+                if not p.hoist[d]:
                     qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
                         jnp.float32)
-                    A = A * _factor_d(pr_k, qd, d)[0]
+                    A = A * _factor_d(pr_k, qd, d)[0].astype(cd)
             xc = load_x(ci)
             # cols accumulated channels-major: (CgP, KP) = x^T @ A — this
             # orientation makes the acc->acc2 relayout a pure slice copy
             # (in-kernel transposes do not lower on TPU).
             acc_ref[...] += jax.lax.dot_general(
-                xc, A.astype(cd), (((0,), (0,)), ((), ())),
+                xc, A, (((0,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32)
             return 0
 
@@ -910,6 +937,9 @@ def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, acc_ref,
         for ki in range(p.KI):
             acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
                 acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+        if p.save_cols:
+            cols2_ref[0, 0, 0, 0, kg] = acc2_ref[...].astype(
+                cols2_ref.dtype)
         w2k = w2_ref[0, 0, kg].astype(cd)               # (Og, KI*CgP)
         oacc_ref[...] += jax.lax.dot_general(
             w2k, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
@@ -918,10 +948,15 @@ def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, acc_ref,
     out_ref[0, 0, 0, 0] = oacc_ref[...]
 
 
-def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, gx_ref,
-                      gs_ref, gw_ref, sh_ref, acc_ref, acc2_ref, gcols_ref,
-                      *scratch, plan, cd, prec):
+def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, *rest,
+                      plan, cd, prec):
     p = plan
+    if p.save_cols:
+        cols2_ref, gx_ref, gs_ref, gw_ref, sh_ref, gcols_ref, *scratch = rest
+        acc_ref = acc2_ref = None
+    else:
+        gx_ref, gs_ref, gw_ref, sh_ref, acc_ref, acc2_ref, gcols_ref, \
+            *scratch = rest
     b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(3)
     qi = jax.lax.broadcasted_iota(jnp.int32, (p.SCH, 1), 0)
 
@@ -1005,7 +1040,8 @@ def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, gx_ref,
         gcols = gcols_ref[...].astype(cd)               # (CgP, KP)
 
         sh_ref[...] = jnp.zeros_like(sh_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if not p.save_cols:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
         def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, gl=gl, gh=gh,
                  gcols=gcols, hoisted=hoisted):
@@ -1032,11 +1068,12 @@ def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, gx_ref,
             Acd = A.astype(cd)
             xc = load_x(ci)
 
-            # columns recompute for grad_weight (reference
-            # deformable_conv.cu:285 makes the same tradeoff).
-            acc_ref[...] += jax.lax.dot_general(
-                xc, Acd, (((0,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32)
+            if not p.save_cols:
+                # columns recompute for grad_weight (reference
+                # deformable_conv.cu:285 makes the same tradeoff)
+                acc_ref[...] += jax.lax.dot_general(
+                    xc, Acd, (((0,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
 
             gxc = jax.lax.dot_general(
                 Acd, gcols, (((1,), (1,)), ((), ())),
@@ -1060,11 +1097,15 @@ def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, gx_ref,
 
         jax.lax.fori_loop(lo, hi, body, 0)
         gs_ref[0, 0, 0, 0, kg] = sh_ref[...]
-        for ki in range(p.KI):
-            acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
-                acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+        if p.save_cols:
+            cols2 = cols2_ref[0, 0, 0, 0, kg].astype(cd)
+        else:
+            for ki in range(p.KI):
+                acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
+                    acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+            cols2 = acc2_ref[...].astype(cd)
         gw_ref[0, 0, 0, kg] += jax.lax.dot_general(
-            gout, acc2_ref[...].astype(cd), (((1,), (1,)), ((), ())),
+            gout, cols2, (((1,), (1,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
 
 
@@ -1097,25 +1138,36 @@ def _fused_conv_call(xp, pr, bnd, w2, plan: _Plan, Og, cd, prec):
                          lambda b, d, cp, t, *_: (d, cp, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, 1, Og, p.PT),
-                               lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((1, 1, 1, 1, Og, p.PT),
+                                lambda b, d, cp, t: (b, d, cp, t, 0, 0),
+                                memory_space=pltpu.VMEM)] + (
+            [pl.BlockSpec((1, 1, 1, 1, p.K0, p.KI * p.CgP, p.PT),
+                          lambda b, d, cp, t: (b, d, cp, t, 0, 0, 0),
+                          memory_space=pltpu.VMEM)] if p.save_cols else []),
         scratch_shapes=[pltpu.VMEM((p.CgP, p.KP), jnp.float32),
                         pltpu.VMEM((p.KI * p.CgP, p.PT), jnp.float32),
                         pltpu.VMEM((Og, p.PT), jnp.float32)] + extra,
     )
-    return pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct(
+        (p.B, p.dg, p.NCP, p.NT, Og, p.PT), jnp.float32)]
+    if p.save_cols:
+        # the residual keeps full precision in exact mode; bf16 otherwise
+        cdt = (jnp.float32 if prec == jax.lax.Precision.HIGHEST
+               else jnp.bfloat16)
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (p.B, p.dg, p.NCP, p.NT, p.K0, p.KI * p.CgP, p.PT), cdt))
+    res = pl.pallas_call(
         functools.partial(_fwd_fused_kernel, plan=p, cd=cd, prec=prec),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (p.B, p.dg, p.NCP, p.NT, Og, p.PT), jnp.float32),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(bnd, pr, xp, w2)
+    return res if p.save_cols else (res[0], None)
 
 
-def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan: _Plan, Og, cd,
-                         prec, groups):
+def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, cols2, plan: _Plan, Og,
+                         cd, prec, groups):
     p = plan
     xdt = xp.dtype
     if p.stream:
@@ -1134,40 +1186,52 @@ def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan: _Plan, Og, cd,
                                memory_space=pltpu.VMEM)
         extra = []
     spg = (p.dg * p.NCP) // groups
+    in_specs = [
+        # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
+        # prefetch: prefetched arrays must fit SMEM whole, which caps
+        # the grid at ~3k tiles (compile crash beyond).
+        pl.BlockSpec((1, 1, 1, p.K0, 2),
+                     lambda b, d, cp, t: (b, d, t, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
+                     lambda b, d, cp, t: (b, d, t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        x_spec,
+        pl.BlockSpec((1, 1, p.K0, Og, p.KI * p.CgP),
+                     lambda b, d, cp, t: (d, cp, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, Og, p.PT),
+                     lambda b, d, cp, t:
+                     (b, (d * p.NCP + cp) // spg, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [bnd, pr, xp, w2, gout_t]
+    if p.save_cols:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, 1, p.K0, p.KI * p.CgP, p.PT),
+                         lambda b, d, cp, t: (b, d, cp, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(cols2)
+        scratch = [pltpu.VMEM((p.NR, p.KP), jnp.float32),
+                   pltpu.VMEM((p.CgP, p.KP), jnp.float32)] + extra
+    else:
+        scratch = [pltpu.VMEM((p.NR, p.KP), jnp.float32),
+                   pltpu.VMEM((p.CgP, p.KP), jnp.float32),
+                   pltpu.VMEM((p.KI * p.CgP, p.PT), jnp.float32),
+                   pltpu.VMEM((p.CgP, p.KP), jnp.float32)] + extra
     grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NCP, p.NT),
-        in_specs=[
-            # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
-            # prefetch: prefetched arrays must fit SMEM whole, which caps
-            # the grid at ~3k tiles (compile crash beyond).
-            pl.BlockSpec((1, 1, 1, p.K0, 2),
-                         lambda b, d, cp, t: (b, d, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
-                         lambda b, d, cp, t, *_: (b, d, t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            x_spec,
-            pl.BlockSpec((1, 1, p.K0, Og, p.KI * p.CgP),
-                         lambda b, d, cp, t, *_: (d, cp, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, Og, p.PT),
-                         lambda b, d, cp, t, *_:
-                         (b, (d * p.NCP + cp) // spg, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             gx_spec,
             pl.BlockSpec((1, 1, 1, 1, p.K0, p.NR, p.KP),
-                         lambda b, d, cp, t, *_: (b, d, cp, t, 0, 0, 0),
+                         lambda b, d, cp, t: (b, d, cp, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, p.K0, Og, p.KI * p.CgP),
-                         lambda b, d, cp, t, *_: (b, d, cp, 0, 0, 0),
+                         lambda b, d, cp, t: (b, d, cp, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((p.NR, p.KP), jnp.float32),
-                        pltpu.VMEM((p.CgP, p.KP), jnp.float32),
-                        pltpu.VMEM((p.KI * p.CgP, p.PT), jnp.float32),
-                        pltpu.VMEM((p.CgP, p.KP), jnp.float32)] + extra,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, plan=p, cd=cd, prec=prec),
@@ -1182,7 +1246,7 @@ def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan: _Plan, Og, cd,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(bnd, pr, xp, w2, gout_t)
+    )(*args)
 
 
 def _out_from_partials(outp, plan: _Plan, O, groups, OS):
@@ -1212,9 +1276,11 @@ def _gout_tiles(g_out, plan: _Plan, O, groups):
 def fused_conv(x, offset, mask, weight, spec: DeformConvSpec,
                precision: str, groups: int, out_sizes=None):
     """Whole fused deformable conv (no bias): gather + grouped GEMM in one
-    Pallas kernel, hand-written VJPs for x/offset/mask/weight."""
+    Pallas kernel, hand-written VJPs for x/offset/mask/weight.  When the
+    plan's `save_cols` holds, the forward also emits the bf16 column tensor
+    as a residual so the backward skips its recompute matmul."""
     return _fused_conv_impl(x, offset, mask, weight, spec, precision,
-                            groups, out_sizes)
+                            groups, out_sizes)[0]
 
 
 def _fused_conv_impl(x, offset, mask, weight, spec, precision, groups,
@@ -1227,18 +1293,20 @@ def _fused_conv_impl(x, offset, mask, weight, spec, precision, groups,
     m = mask if (mask is not None and mask.size) else None
     xp, pr, bnd = _prep(x, offset, m, spec, plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, groups)
-    outp = _fused_conv_call(xp, pr, bnd, w2, plan, O // groups, cd, prec)
-    return _out_from_partials(outp, plan, O, groups, OS)
+    outp, cols2 = _fused_conv_call(xp, pr, bnd, w2, plan, O // groups, cd,
+                                   prec)
+    return _out_from_partials(outp, plan, O, groups, OS), cols2
 
 
 def _fused_conv_fwd(x, offset, mask, weight, spec, precision, groups,
                     out_sizes=None):
-    return _fused_conv_impl(x, offset, mask, weight, spec, precision,
-                            groups, out_sizes), (x, offset, mask, weight)
+    out, cols2 = _fused_conv_impl(x, offset, mask, weight, spec, precision,
+                                  groups, out_sizes)
+    return out, (x, offset, mask, weight, cols2)
 
 
 def _fused_conv_bwd(spec, precision, groups, out_sizes, res, g_out):
-    x, offset, mask, weight = res
+    x, offset, mask, weight, cols2 = res
     cd, prec = _resolve(precision)
     OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
           else tuple(out_sizes))
@@ -1249,8 +1317,8 @@ def _fused_conv_bwd(spec, precision, groups, out_sizes, res, g_out):
     xp, pr, bnd = _prep(x, offset, m, spec, plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, groups)
     gout_t = _gout_tiles(g_out, plan, O, groups)
-    gxp, gs, gw = _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, plan,
-                                       O // groups, cd, prec, groups)
+    gxp, gs, gw = _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, cols2,
+                                       plan, O // groups, cd, prec, groups)
 
     gxp = gxp.transpose(0, 1, 3, 2, 4).reshape(p.B, p.dg, p.SPAD, p.Cg)
     gx = gxp[:, :, :p.Sflat].reshape((p.B, p.dg) + p.S + (p.Cg,))
