@@ -1043,57 +1043,120 @@ def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, *rest,
         if not p.save_cols:
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, gl=gl, gh=gh,
-                 gcols=gcols, hoisted=hoisted):
-            qflat = qi + ci * p.SCH
-            q0 = (qflat // p.qstride[0]).astype(jnp.float32)
-            ev0, ev1 = _factor0(pr_k, q0)
-            F0 = ev0 * svl + ev1 * svh
-            dF0 = (ev1 - ev0) * (svl + svh)
-            F0g = ev0 * gl + ev1 * gh
-            Fs, dFs = [F0], [dF0]
-            for d in range(1, p.nd):
-                if d in hoisted:
-                    Fd, dFd = hoisted[d]
-                else:
-                    qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
-                        jnp.float32)
-                    Fd, dFd = _factor_d(pr_k, qd, d)
-                Fs.append(Fd)
-                dFs.append(dFd)
-            Frest = Fs[1]
+        all_hoisted = all(p.hoist[1:]) and p.nd >= 2
+        # Reductions run in the compute dtype; in exact mode cd is f32.
+        rd = cd
+        if all_hoisted:
+            # Pre-scale every chunk-invariant product once per tile: the
+            # chunk body is then two compares + selects + reductions.
+            Frest = hoisted[1][0]
             for d in range(2, p.nd):
-                Frest = Frest * Fs[d]
-            A = F0 * Frest
-            Acd = A.astype(cd)
-            xc = load_x(ci)
-
-            if not p.save_cols:
-                # columns recompute for grad_weight (reference
-                # deformable_conv.cu:285 makes the same tradeoff)
-                acc_ref[...] += jax.lax.dot_general(
-                    xc, Acd, (((0,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32)
-
-            gxc = jax.lax.dot_general(
-                Acd, gcols, (((1,), (1,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32)
-            accum_gx(ci, gxc)
-
-            M = jax.lax.dot_general(
-                xc, gcols, (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32)
-            t0 = Frest * M
-            sh_ref[0:1] += jnp.sum(dF0 * t0, axis=0, keepdims=True)
-            sh_ref[p.nd:p.nd + 1] += jnp.sum(F0g * t0, axis=0,
-                                             keepdims=True)
+                Frest = Frest * hoisted[d][0]
+            l0 = pr_k[_R_L0:_R_L0 + 1]
+            FL = (svl * Frest).astype(cd)
+            FH = (svh * Frest).astype(cd)
+            SF = ((svl + svh) * Frest).astype(rd)       # dF0 * Frest
+            GLr = (gl * Frest).astype(rd)
+            GHr = (gh * Frest).astype(rd)
+            Wd = []                                     # F0-scaled dF_d
             for d in range(1, p.nd):
-                prod = F0 * dFs[d]
+                pr_d = hoisted[d][1]
                 for e in range(1, p.nd):
                     if e != d:
-                        prod = prod * Fs[e]
-                sh_ref[d:d + 1] += jnp.sum(prod * M, axis=0, keepdims=True)
-            return 0
+                        pr_d = pr_d * hoisted[e][0]
+                Wd.append(((svl * pr_d).astype(rd),
+                           (svh * pr_d).astype(rd)))
+
+            def body(ci, _, l0=l0, FL=FL, FH=FH, SF=SF, GLr=GLr, GHr=GHr,
+                     Wd=Wd, gcols=gcols):
+                qflat = qi + ci * p.SCH
+                q0 = (qflat // p.qstride[0]).astype(jnp.float32)
+                eq0 = q0 == l0
+                eq1 = q0 == l0 + 1.0
+                zc = jnp.zeros((), cd)
+                zr = jnp.zeros((), rd)
+                A = jnp.where(eq0, FL, zc) + jnp.where(eq1, FH, zc)
+                xc = load_x(ci)
+
+                if not p.save_cols:
+                    acc_ref[...] += jax.lax.dot_general(
+                        xc, A, (((0,), (0,)), ((), ())),
+                        precision=prec, preferred_element_type=jnp.float32)
+
+                gxc = jax.lax.dot_general(
+                    A, gcols, (((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+                accum_gx(ci, gxc)
+
+                M = jax.lax.dot_general(
+                    xc, gcols, (((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32).astype(rd)
+                dF0r = jnp.where(eq1, SF, zr) - jnp.where(eq0, SF, zr)
+                sh_ref[0:1] += jnp.sum(dF0r * M, axis=0,
+                                       keepdims=True).astype(jnp.float32)
+                F0g = jnp.where(eq0, GLr, zr) + jnp.where(eq1, GHr, zr)
+                sh_ref[p.nd:p.nd + 1] += jnp.sum(
+                    F0g * M, axis=0, keepdims=True).astype(jnp.float32)
+                for d in range(1, p.nd):
+                    WdL, WdH = Wd[d - 1]
+                    pd = jnp.where(eq0, WdL, zr) + jnp.where(eq1, WdH, zr)
+                    sh_ref[d:d + 1] += jnp.sum(
+                        pd * M, axis=0, keepdims=True).astype(jnp.float32)
+                return 0
+        else:
+            def body(ci, _, pr_k=pr_k, svl=svl, svh=svh, gl=gl, gh=gh,
+                     gcols=gcols, hoisted=hoisted):
+                qflat = qi + ci * p.SCH
+                q0 = (qflat // p.qstride[0]).astype(jnp.float32)
+                ev0, ev1 = _factor0(pr_k, q0)
+                F0 = ev0 * svl + ev1 * svh
+                dF0 = (ev1 - ev0) * (svl + svh)
+                F0g = ev0 * gl + ev1 * gh
+                Fs, dFs = [F0], [dF0]
+                for d in range(1, p.nd):
+                    if d in hoisted:
+                        Fd, dFd = hoisted[d]
+                    else:
+                        qd = ((qflat // p.qstride[d]) % p.S[d]).astype(
+                            jnp.float32)
+                        Fd, dFd = _factor_d(pr_k, qd, d)
+                    Fs.append(Fd)
+                    dFs.append(dFd)
+                Frest = Fs[1]
+                for d in range(2, p.nd):
+                    Frest = Frest * Fs[d]
+                A = F0 * Frest
+                Acd = A.astype(cd)
+                xc = load_x(ci)
+
+                if not p.save_cols:
+                    # columns recompute for grad_weight (reference
+                    # deformable_conv.cu:285 makes the same tradeoff)
+                    acc_ref[...] += jax.lax.dot_general(
+                        xc, Acd, (((0,), (0,)), ((), ())),
+                        precision=prec, preferred_element_type=jnp.float32)
+
+                gxc = jax.lax.dot_general(
+                    Acd, gcols, (((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+                accum_gx(ci, gxc)
+
+                M = jax.lax.dot_general(
+                    xc, gcols, (((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+                t0 = Frest * M
+                sh_ref[0:1] += jnp.sum(dF0 * t0, axis=0, keepdims=True)
+                sh_ref[p.nd:p.nd + 1] += jnp.sum(F0g * t0, axis=0,
+                                                 keepdims=True)
+                for d in range(1, p.nd):
+                    prod = F0 * dFs[d]
+                    for e in range(1, p.nd):
+                        if e != d:
+                            prod = prod * Fs[e]
+                    sh_ref[d:d + 1] += jnp.sum(prod * M, axis=0,
+                                               keepdims=True)
+                return 0
 
         jax.lax.fori_loop(lo, hi, body, 0)
         gs_ref[0, 0, 0, 0, kg] = sh_ref[...]
