@@ -45,6 +45,10 @@ import numpy as np
 
 from ..utils.config import DeformConvSpec
 
+# Per-buffer budget for column intermediates (XLA buffers above ~2GB crash
+# the TPU compiler); tests lower this to exercise the chunked paths.
+_COL_BYTES_CAP = 1 << 30
+
 
 def _base_positions(spec: DeformConvSpec, out_sizes: Tuple[int, ...]):
     """Sampling-grid base: (ndim, K, P) float32.
@@ -184,6 +188,46 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     return jnp.moveaxis(out, -1, 1)                        # (B, O, *OS)
 
 
+def _row_chunked(x, offset, mask, weight, bias, spec: DeformConvSpec,
+                 OS, nb0: int) -> jax.Array:
+    """Evaluate the op in blocks of the leading output dim.
+
+    Keeps the per-block column intermediate bounded for very large volumes
+    (the reference's in_step chunking only helps along batch).  The block's
+    local output grid is mapped to global coordinates by folding the block
+    origin into the dim-0 offset channels (pos = o*s - pad + i*dil + off),
+    exactly like the sharding layer's halo-block coordinate change.
+    """
+    nd = spec.ndim
+    B = x.shape[0]
+    blk0 = OS[0] // nb0
+    blk_os = (blk0,) + tuple(OS[1:])
+    K = spec.tap_count
+    dg = spec.deformable_groups
+
+    off_r = offset.reshape((B, dg * K, nd) + OS)
+    ch_shift = jnp.zeros((dg * K, nd), offset.dtype).at[:, 0].set(1.0)
+    ch_shift = ch_shift.reshape((1, dg * K, nd) + (1,) * nd)
+    if mask is not None:
+        mask_r = mask.reshape((B, dg * K) + OS)
+
+    def block(i):
+        o0 = i * blk0
+        off_blk = jax.lax.dynamic_slice_in_dim(off_r, o0, blk0, axis=3)
+        off_blk = off_blk + ch_shift * (o0 * spec.stride[0]).astype(
+            offset.dtype)
+        off_blk = off_blk.reshape((B, dg * spec.ndim * K) + blk_os)
+        m_blk = (jax.lax.dynamic_slice_in_dim(mask_r, o0, blk0, axis=2)
+                 .reshape((B, dg * K) + blk_os) if mask is not None else None)
+        return _deform_conv_nd(x, off_blk, m_blk, weight, bias, spec,
+                               out_sizes=blk_os)
+
+    out = jax.lax.map(jax.checkpoint(block), jnp.arange(nb0))
+    # (nb0, B, O, blk0, *rest) -> (B, O, OS0, *rest)
+    out = jnp.moveaxis(out, 0, 2)
+    return out.reshape((B, weight.shape[0]) + tuple(OS))
+
+
 def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                    weight: jax.Array, bias: Optional[jax.Array],
                    spec: DeformConvSpec,
@@ -205,7 +249,16 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     OS = spec.out_sizes(x.shape[2:]) if out_sizes is None else tuple(out_sizes)
     bytes_per_sample = (spec.tap_count * math.prod(OS) * x.shape[1]
                         * max(4, jnp.dtype(x.dtype).itemsize))
-    cap = max(1, (1 << 30) // bytes_per_sample)
+    cap = max(1, _COL_BYTES_CAP // bytes_per_sample)
+    if bytes_per_sample > _COL_BYTES_CAP and out_sizes is None:
+        # Even one sample's columns exceed the buffer budget: chunk the
+        # leading output dim instead (covers very large 3D volumes).  The
+        # whole batch runs per block, so size blocks for B*bytes.
+        total = B * bytes_per_sample
+        for nb0 in range(2, OS[0] + 1):
+            if OS[0] % nb0 == 0 and total // nb0 <= _COL_BYTES_CAP:
+                return _row_chunked(x, offset, mask, weight, bias, spec,
+                                    OS, nb0)
     while step > cap or B % step:
         step -= 1
     if step >= B or step <= 0:

@@ -182,3 +182,40 @@ def test_float16_inputs_upcast():
     out = jax.jit(lambda *a: mdc.deform_conv2d(
         *a, None, stride=1, padding=1, impl="pallas"))(x, off, w)
     assert out.dtype == jnp.float16
+
+
+def test_row_chunked_path_matches(monkeypatch):
+    """Very large volumes chunk the leading output dim in the XLA path;
+    results (fwd and grads) must match the unchunked computation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import modulated_deform_conv_tpu as mdc
+    from modulated_deform_conv_tpu.ops import core
+
+    rng = np.random.default_rng(7)
+    B, C, H, W, k, dg = 1, 8, 12, 7, 3, 1
+    K = k * k
+    x = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-2, 2, (B, dg * 2 * K, H, W)), jnp.float32)
+    m = jnp.asarray(rng.uniform(0, 1, (B, dg * K, H, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, C, k, k)), jnp.float32)
+
+    def loss(x, off, m, w):
+        o = mdc.modulated_deform_conv2d(x, off, m, w, None, stride=1,
+                                        padding=1, impl="xla")
+        return jnp.sum(o * o)
+
+    want = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(x, off, m, w)
+    out_ref = jax.jit(lambda *a: mdc.modulated_deform_conv2d(
+        *a, None, stride=1, padding=1, impl="xla"))(x, off, m, w)
+
+    monkeypatch.setattr(core, "_COL_BYTES_CAP", 8 * 1024)  # force chunking
+    out_chunked = jax.jit(lambda *a: mdc.modulated_deform_conv2d(
+        *a, None, stride=1, padding=1, impl="xla"))(x, off, m, w)
+    np.testing.assert_allclose(np.asarray(out_chunked), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(x, off, m, w)
+    for a, b, name in zip(got, want, ["x", "off", "mask", "w"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
