@@ -61,9 +61,16 @@ def measure_amortized(step, args, iters, n_lo=2, n_hi=12):
         @jax.jit
         def run(*a):
             def body(carry, _):
-                # carry*1e-30 perturbs the first arg by ~nothing but forces
-                # a serial data dependency between iterations.
-                s = step(a[0] + carry * 1e-30, *a[1:])
+                # carry*1e-30 perturbs EVERY float arg by ~nothing but
+                # forces a serial data dependency between iterations.
+                # Perturbing only x would let XLA hoist the whole
+                # offset/mask prep pipeline out of the chain (LICM) and
+                # overstate throughput for training, where offsets change
+                # every step.
+                pert = [q + carry.astype(q.dtype) * 1e-30
+                        if jnp.issubdtype(q.dtype, jnp.floating) else q
+                        for q in a]
+                s = step(*pert)
                 return s.astype(a[0].dtype), ()
             s, _ = jax.lax.scan(body, jnp.zeros((), a[0].dtype), None, length=n)
             return s

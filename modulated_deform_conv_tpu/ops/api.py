@@ -23,33 +23,36 @@ import jax
 from ..utils.config import DeformConvSpec
 from . import core
 
-_IMPLS = ("auto", "xla", "pallas")
+_IMPLS = ("auto", "xla", "pallas", "shiftblend")
 
 
 def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str,
-              precision: str = "tensorfloat32", out_sizes=None):
+              precision: str = "tensorfloat32", out_sizes=None,
+              offset_bound=None):
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     if out_sizes is None:
         spec.validate(x.shape, offset.shape, weight.shape,
                       None if mask is None else mask.shape,
                       None if bias is None else bias.shape)
-    if impl in ("auto", "pallas"):
+    if impl in ("auto", "pallas", "shiftblend"):
         from . import pallas as _pl
         fn = _pl.maybe_pallas(x, offset, mask, weight, bias, spec,
-                              require=(impl == "pallas"),
-                              precision=precision, out_sizes=out_sizes)
+                              require=(impl in ("pallas", "shiftblend")),
+                              precision=precision, out_sizes=out_sizes,
+                              offset_bound=offset_bound, impl=impl)
         if fn is not None:
             return fn
     return core.deform_conv_nd(x, offset, mask, weight, bias, spec,
-                               out_sizes=out_sizes)
+                               out_sizes=out_sizes, precision=precision)
 
 
 def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                   bias: Optional[jax.Array] = None, stride=1, padding=0,
                   dilation=1, groups: int = 1, deformable_groups: int = 1,
                   in_step: int = 64, *, impl: str = "auto",
-                  precision: str = "tensorfloat32") -> jax.Array:
+                  precision: str = "tensorfloat32",
+                  offset_bound=None) -> jax.Array:
     """DCNv1 2D forward (reference deform_conv2d, modulated_deform_conv.py:349).
 
     input (B,C,H,W); offset (B, dg*2*kh*kw, OH, OW); weight (O, C/g, kh, kw);
@@ -59,7 +62,7 @@ def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                                groups, deformable_groups, in_step,
                                modulated=False)
     return _dispatch(input, offset, None, weight, bias, spec, impl,
-                 precision)
+                     precision, offset_bound=offset_bound)
 
 
 def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
@@ -68,21 +71,23 @@ def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
                             padding=0, dilation=1, groups: int = 1,
                             deformable_groups: int = 1, in_step: int = 64,
                             *, impl: str = "auto",
-                            precision: str = "tensorfloat32") -> jax.Array:
+                            precision: str = "tensorfloat32",
+                            offset_bound=None) -> jax.Array:
     """DCNv2 2D forward (reference modulated_deform_conv2d,
     modulated_deform_conv.py:350).  mask (B, dg*kh*kw, OH, OW)."""
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=True)
     return _dispatch(input, offset, mask, weight, bias, spec, impl,
-                 precision)
+                     precision, offset_bound=offset_bound)
 
 
 def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                   bias: Optional[jax.Array] = None, stride=1, padding=0,
                   dilation=1, groups: int = 1, deformable_groups: int = 1,
                   in_step: int = 64, *, impl: str = "auto",
-                  precision: str = "tensorfloat32") -> jax.Array:
+                  precision: str = "tensorfloat32",
+                  offset_bound=None) -> jax.Array:
     """3D deformable conv (reference deform_conv3d, modulated_deform_conv.py:351).
 
     input (B,C,H,W,L); offset (B, dg*3*kh*kw*kl, OH, OW, OL);
@@ -91,7 +96,7 @@ def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                                groups, deformable_groups, in_step,
                                modulated=False)
     return _dispatch(input, offset, None, weight, bias, spec, impl,
-                 precision)
+                     precision, offset_bound=offset_bound)
 
 
 def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
@@ -100,11 +105,12 @@ def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
                             padding=0, dilation=1, groups: int = 1,
                             deformable_groups: int = 1, in_step: int = 64,
                             *, impl: str = "auto",
-                            precision: str = "tensorfloat32") -> jax.Array:
+                            precision: str = "tensorfloat32",
+                            offset_bound=None) -> jax.Array:
     """Modulated 3D deformable conv (reference modulated_deform_conv3d,
     modulated_deform_conv.py:352).  mask (B, dg*kh*kw*kl, OH, OW, OL)."""
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=True)
     return _dispatch(input, offset, mask, weight, bias, spec, impl,
-                 precision)
+                     precision, offset_bound=offset_bound)

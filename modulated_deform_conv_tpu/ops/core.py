@@ -164,7 +164,8 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
 def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                     weight: jax.Array, bias: Optional[jax.Array],
                     spec: DeformConvSpec,
-                    out_sizes: Optional[Tuple[int, ...]] = None) -> jax.Array:
+                    out_sizes: Optional[Tuple[int, ...]] = None,
+                    precision: str = "tensorfloat32") -> jax.Array:
     """One un-chunked forward pass: columns gather + grouped MXU contraction."""
     B, C = x.shape[0], x.shape[1]
     OS = spec.out_sizes(x.shape[2:]) if out_sizes is None else tuple(out_sizes)
@@ -178,7 +179,12 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     # Grouped contraction == reference per-group addmm_ (deformable_conv.cu:176-180)
     # expressed as one batched dot_general for the MXU.
     acc = jnp.promote_types(jnp.float32, x.dtype)
-    out = jnp.einsum("bpgck,gock->bpgo", cols, w,
+    # precision="float32" forces exact fp32 MXU passes; the TPU default is
+    # one bf16-multiply pass (torch-TF32-like).  Keeps the XLA path usable
+    # as a float32 oracle on TPU.
+    prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+            else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum("bpgck,gock->bpgo", cols, w, precision=prec,
                      preferred_element_type=acc)
     out = out.reshape(B, P, O)
     if bias is not None:
@@ -189,7 +195,7 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
 
 
 def _row_chunked(x, offset, mask, weight, bias, spec: DeformConvSpec,
-                 OS, nb0: int) -> jax.Array:
+                 OS, nb0: int, precision: str = "tensorfloat32") -> jax.Array:
     """Evaluate the op in blocks of the leading output dim.
 
     Keeps the per-block column intermediate bounded for very large volumes
@@ -214,13 +220,17 @@ def _row_chunked(x, offset, mask, weight, bias, spec: DeformConvSpec,
     def block(i):
         o0 = i * blk0
         off_blk = jax.lax.dynamic_slice_in_dim(off_r, o0, blk0, axis=3)
-        off_blk = off_blk + ch_shift * (o0 * spec.stride[0]).astype(
-            offset.dtype)
+        # Add the block-origin shift in float32: with bf16/f16 offsets the
+        # shift (tens of rows) would otherwise quantize the sample position
+        # (bf16 ulp is 0.25 at 32), diverging from the unchunked path.
+        off_blk = (off_blk.astype(jnp.float32)
+                   + ch_shift.astype(jnp.float32)
+                   * jnp.float32(o0 * spec.stride[0]))
         off_blk = off_blk.reshape((B, dg * spec.ndim * K) + blk_os)
         m_blk = (jax.lax.dynamic_slice_in_dim(mask_r, o0, blk0, axis=2)
                  .reshape((B, dg * K) + blk_os) if mask is not None else None)
         return _deform_conv_nd(x, off_blk, m_blk, weight, bias, spec,
-                               out_sizes=blk_os)
+                               out_sizes=blk_os, precision=precision)
 
     out = jax.lax.map(jax.checkpoint(block), jnp.arange(nb0))
     # (nb0, B, O, blk0, *rest) -> (B, O, OS0, *rest)
@@ -231,7 +241,8 @@ def _row_chunked(x, offset, mask, weight, bias, spec: DeformConvSpec,
 def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                    weight: jax.Array, bias: Optional[jax.Array],
                    spec: DeformConvSpec,
-                   out_sizes: Optional[Tuple[int, ...]] = None) -> jax.Array:
+                   out_sizes: Optional[Tuple[int, ...]] = None,
+                   precision: str = "tensorfloat32") -> jax.Array:
     """Full forward with optional `in_step` micro-batch chunking.
 
     `in_step` is a pure memory knob: the effective chunk is
@@ -258,11 +269,20 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
         for nb0 in range(2, OS[0] + 1):
             if OS[0] % nb0 == 0 and total // nb0 <= _COL_BYTES_CAP:
                 return _row_chunked(x, offset, mask, weight, bias, spec,
-                                    OS, nb0)
+                                    OS, nb0, precision)
+        if bytes_per_sample // OS[0] > _COL_BYTES_CAP:
+            # Even a single output row's columns exceed the buffer budget:
+            # batch chunking below cannot help, and proceeding would hit
+            # the compiler crash the cap guards against.  Fail fast.
+            raise ValueError(
+                "deformable-conv column intermediate too large even with "
+                f"row chunking ({bytes_per_sample // OS[0]} bytes per "
+                "output row); reduce the spatial extent or channel count")
     while step > cap or B % step:
         step -= 1
     if step >= B or step <= 0:
-        return _deform_conv_nd(x, offset, mask, weight, bias, spec, out_sizes)
+        return _deform_conv_nd(x, offset, mask, weight, bias, spec, out_sizes,
+                               precision)
     nb = B // step
 
     # Rematerialize per-chunk columns in the backward instead of saving
@@ -271,7 +291,8 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     @jax.checkpoint
     def chunk(args):
         xc, oc, mc = args
-        return _deform_conv_nd(xc, oc, mc, weight, bias, spec, out_sizes)
+        return _deform_conv_nd(xc, oc, mc, weight, bias, spec, out_sizes,
+                               precision)
 
     xs = x.reshape((nb, step) + x.shape[1:])
     offs = offset.reshape((nb, step) + offset.shape[1:])
@@ -285,6 +306,6 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     else:
         out = jax.lax.map(
             jax.checkpoint(lambda a: _deform_conv_nd(
-                a[0], a[1], None, weight, bias, spec, out_sizes)),
+                a[0], a[1], None, weight, bias, spec, out_sizes, precision)),
             (xs, offs))
     return out.reshape((B,) + out.shape[2:])

@@ -14,26 +14,63 @@ from ...utils.config import DeformConvSpec
 from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 
+def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
+    """Measured dispatch policy (v5e): the shift-blend kernel wins for 3D,
+    for small planes, and for small windows; the structured-sparse MXU
+    kernel wins for wide channel slabs (large C/dg) on big 2D planes."""
+    Cg = x.shape[1] // spec.deformable_groups
+    if spec.ndim == 3:
+        return True
+    if Cg > 128:
+        return False
+    if max(plan.W) <= 4:
+        return True
+    import math
+    return math.prod(x.shape[2:]) <= 8192
+
+
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
                  require: bool = False,
                  precision: str = "tensorfloat32",
-                 out_sizes=None):
+                 out_sizes=None, offset_bound=None, impl: str = "auto"):
     """Return the Pallas-kernel output, or None if unsupported.
 
-    With require=True (impl="pallas"), raises instead of silently falling
-    back when the config is ineligible.
+    With require=True (impl="pallas"/"shiftblend"), raises instead of
+    silently falling back when the config is ineligible.  `offset_bound`
+    enables the shift-blend kernel (bounded-offset contract; see
+    shiftblend.py docstring).
     """
-    from . import gathermm
+    from . import gathermm, shiftblend
+    on_tpu = jax.default_backend() == "tpu"
+
+    sb_reason = shiftblend.ineligible_reason(x, spec, offset_bound,
+                                             out_sizes)
+    if impl == "shiftblend":
+        if sb_reason is not None:
+            if require:
+                raise NotImplementedError(
+                    f"shiftblend path unavailable: {sb_reason}")
+            return None
+        return shiftblend.deform_conv_shift(x, offset, mask, weight, bias,
+                                            spec, precision, offset_bound)
+
     reason = gathermm.ineligible_reason(x, spec, out_sizes)
-    if reason is None and not require and jax.default_backend() != "tpu":
-        # Off-TPU the kernel only runs in the (slow) interpreter; "auto"
+    if not require and not on_tpu:
+        # Off-TPU the kernels only run in the (slow) interpreter; "auto"
         # prefers the compiled XLA path there.  impl="pallas" still forces
-        # the kernel (interpret mode) for correctness testing.
-        reason = "auto prefers XLA off-TPU"
+        # a kernel (interpret mode) for correctness testing.
+        return None
+    if sb_reason is None:
+        plan = shiftblend.SBPlan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                                 spec.out_sizes(x.shape[2:]), offset_bound)
+        if reason is not None or _prefer_shiftblend(x, spec, plan):
+            return shiftblend.deform_conv_shift(
+                x, offset, mask, weight, bias, spec, precision, offset_bound)
     if reason is None:
         return gathermm.deform_conv_fused(x, offset, mask, weight, bias,
                                           spec, precision, out_sizes)
     if require:
         raise NotImplementedError(
-            f"pallas path unavailable for this config: {reason}")
+            f"pallas path unavailable for this config: {reason}"
+            + (f"; shiftblend: {sb_reason}" if sb_reason else ""))
     return None

@@ -64,6 +64,8 @@ _X_PLANE_BUDGET = 40 * 1024 * 1024      # one (S_pad, Cg) input plane
 _VMEM_LIMIT = 100 * 1024 * 1024         # v5e has 128MB physical VMEM
 _LANE_BUDGET = 4608                     # target KP lanes per matmul
 _PT_OVERRIDE = 0                        # nonzero: force P_tile (tuning)
+_K0_OVERRIDE = 0                        # nonzero: force tap-group count
+_SCH_OVERRIDE = 0                       # nonzero: force input chunk size
 
 
 def _interpret() -> bool:
@@ -114,6 +116,8 @@ class _Plan:
             if _PT_OVERRIDE and pt != _PT_OVERRIDE:
                 continue
             for k0 in divisors:
+                if _K0_OVERRIDE and k0 != _K0_OVERRIDE:
+                    continue
                 ki = self.K // k0
                 if ki * pt > _LANE_BUDGET:
                     continue
@@ -153,6 +157,8 @@ class _Plan:
         unit = (last * 8) // math.gcd(last, 8)   # lcm(S_last, 8)
         if unit <= 2 * sch:
             sch = max(unit, sch // unit * unit)
+        if _SCH_OVERRIDE:
+            sch = _SCH_OVERRIDE // 8 * 8
         self.SCH = min(sch, -(-self.Sflat // 8) * 8)
         self.SPAD = -(-self.Sflat // self.SCH) * self.SCH
         self.NCH = self.SPAD // self.SCH
@@ -291,7 +297,11 @@ def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan):
 
     # Flat-q chunk bounds per (tile, tap-group): q = sum_d l_d * qstride_d
     # lower-bounds any matched corner; + sum(qstride) upper-bounds it.
-    act = (svl != 0.0) | (svh != 0.0)                     # (B, dg, K, P)
+    # Activity comes from the gate-only rows (gl/gh), NOT the mask-folded
+    # svl/svh: a tap with mask exactly 0 still needs its chunks visited in
+    # the backward, where grad_mask = sum grad_col * unmasked value is
+    # nonzero (reference mdeformable_conv.cu:315).
+    act = (gl != 0.0) | (gh != 0.0)                       # (B, dg, K, P)
     qlow = sum(low[:, :, d] * float(p.qstride[d]) for d in range(nd))
     big = jnp.float32(3e38)
     qmin = jnp.where(act, qlow, big)

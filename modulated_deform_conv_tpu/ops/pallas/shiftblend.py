@@ -1,0 +1,629 @@
+"""Shifted-plane multilinear-blend Pallas kernel (bounded-offset fast path).
+
+Covers the same four ops as gathermm.py (reference deformable_conv.cu:36-85,
+mdeformable_conv.cu:37-87, deformable_conv3d.cu:54-119,
+mdeformable_conv3d.cu:54-127) for the stride-1, size-preserving
+configurations that dominate DCN workloads, under a *bounded-offset
+contract*: |offset| <= offset_bound (per axis).
+
+Design (TPU-first, measured on v5e):
+  * XLA/Mosaic dynamic gather moves ~1 vreg per ~5 cycles and one-hot MXU
+    selection sweeps mostly-zero windows, but plain VPU FMAs run at
+    2.3 (f32) / 5.2 (bf16) T elem/s.  So express the multilinear gather as
+    a *static-shift* blend: with bounded offsets, the corner of tap k at
+    output p lives at flat input index p + delta for delta in a small
+    static set D (|D| = prod over axes of (kernel_extent + window - 1)).
+
+        cols_nomask[k, c, p] = sum_{dy in window^nd}
+            (prod_d coef_d[k, dy_d](p)) * x[c, p + delta(k, dy)]
+
+    Every x read is a static lane shift of a VMEM-resident block; no
+    gathers, no scatter, no data-dependent bounds.  coef rows are built in
+    XLA prep from exact integer compares: floor(pos) == anchor + dy.  A
+    read that crosses a row/plane boundary (flat wrap) is harmless because
+    the per-axis corner in-image factor is exactly zero there — the same
+    factor that implements the reference's zero-outside-image corners
+    (deformable_conv.cu:17-28) and the (-1, S) open-interval tap gate
+    (deformable_conv.cu:78).
+  * The grouped GEMM (reference deformable_conv.cu:163-180) is fused:
+    out[o, p] = W2 @ cols, contracting K*Cg on the MXU per block.
+  * Offsets beyond the bound lose their contribution (the window compares
+    all miss): taps degrade to zero, mirroring the sharding layer's
+    out-of-halo contract.  `offsets_within_bound` gives a runtime check.
+
+The general-offset fallback is gathermm.py; dispatch prefers this kernel
+when eligible and an offset_bound is provided.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.config import DeformConvSpec, ntuple
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+_X_RESIDENT_BUDGET = 48 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+class SBPlan:
+    """Static plan for the shift-blend kernel."""
+
+    def __init__(self, spec: DeformConvSpec, B: int, C: int, S, OS,
+                 offset_bound):
+        nd = spec.ndim
+        self.nd = nd
+        self.B, self.C = B, C
+        self.S = tuple(S)
+        self.OS = tuple(OS)
+        self.dg = spec.deformable_groups
+        self.Cg = C // self.dg
+        self.K = spec.tap_count
+        self.P = math.prod(self.OS)
+        self.modulated = spec.modulated
+
+        bounds = offset_bound if isinstance(offset_bound, (tuple, list)) \
+            else (offset_bound,) * nd
+        self.bounds = tuple(float(b) for b in bounds)
+        # Corner-row window per axis: floor(pos)-anchor in [-ceil(b),
+        # floor(b)]; +1 for the high corner.
+        self.lo = tuple(-math.ceil(b) for b in self.bounds)
+        self.W = tuple(math.ceil(b) + math.floor(b) + 2 for b in self.bounds)
+
+        # Flat strides of the input plane (== output plane: OS == S).
+        st = [1] * nd
+        for d in range(nd - 2, -1, -1):
+            st[d] = st[d + 1] * self.S[d + 1]
+        self.qstride = tuple(st)
+
+        # Tap anchor t_kd = i_d * dil_d - pad_d per tap.
+        taps = np.stack(np.meshgrid(*[np.arange(k) for k in spec.kernel],
+                                    indexing="ij"), 0).reshape(nd, self.K)
+        self.tap_base = tuple(
+            tuple(int(taps[d, k] * spec.dilation[d] - spec.padding[d])
+                  for d in range(nd)) for k in range(self.K))
+
+        # Static shift set: delta -> [(k, dyvec), ...]
+        deltas = {}
+        for k in range(self.K):
+            for dyvec in np.ndindex(*self.W):
+                delta = sum((self.tap_base[k][d] + self.lo[d] + dyvec[d])
+                            * self.qstride[d] for d in range(nd))
+                deltas.setdefault(delta, []).append((k, tuple(dyvec)))
+        self.deltas = dict(sorted(deltas.items()))
+        reach = max(abs(d) for d in self.deltas)
+        self.RPAD = _round_up(max(reach, 128), 128)
+
+        # Output-lane blocking.
+        self.BLK = min(512, _round_up(self.P, 128))
+        self.PPAD = _round_up(self.P, self.BLK)
+        self.NT = self.PPAD // self.BLK
+        self.QPAD = self.PPAD + 2 * self.RPAD
+
+        # coef rows: per axis W_d weight rows, then the mask row, then (for
+        # the backward) per axis W_d derivative rows; padded to a sublane
+        # multiple.  The forward reads only the first NRF rows.
+        cum = np.cumsum([0] + list(self.W))
+        self.row0 = tuple(int(cum[d]) for d in range(nd))
+        self.mask_row = int(cum[nd])
+        self.NRF = _round_up(self.mask_row + 1, 8)
+        self.drow0 = tuple(self.mask_row + 1 + int(cum[d])
+                           for d in range(nd))
+        self.NRB = _round_up(self.mask_row + 1 + int(cum[nd]), 8)
+
+    def x_resident_bytes(self, itemsize: int) -> int:
+        return self.Cg * self.QPAD * itemsize
+
+    def ineligible_reason(self, spec: DeformConvSpec) -> Optional[str]:
+        if any(s != 1 for s in spec.stride):
+            return "shiftblend requires stride=1"
+        if self.OS != self.S:
+            return "shiftblend requires size-preserving padding (OS == S)"
+        if self.Cg % 8:
+            return "channels per deformable group must be a multiple of 8"
+        if self.dg % spec.groups:
+            return "deformable_groups must be a multiple of groups"
+        if 2 * self.x_resident_bytes(4) > _X_RESIDENT_BUDGET:
+            # x and grad_x planes are both VMEM-resident in the backward.
+            return "input plane exceeds the VMEM residency budget"
+        if len(self.deltas) > 4096:
+            return "offset_bound window too large (shift set explodes)"
+        return None
+
+
+def _coef_prep(offset, mask, spec: DeformConvSpec, plan: SBPlan,
+               with_grads: bool = False):
+    """Build coefficient rows (B, dg, K, NRF|NRB, PPAD) f32.
+
+    Axis-0 rows carry the whole-tap open-interval gate
+    (reference deformable_conv.cu:78); each axis's rows carry that axis's
+    corner weight and in-image factor (deformable_conv.cu:17-28).  The mask
+    lives in its own row so grad_mask = sum_c gcol * col_nomask keeps the
+    reference semantics at mask == 0 (mdeformable_conv.cu:315).  With
+    with_grads, per-axis d(weight)/d(position) rows are appended (the
+    analytic bilinear/trilinear offset-gradient forms,
+    deformable_conv.cu:281-283, deformable_conv3d.cu:380-385)."""
+    p = plan
+    nd, B, dg, K = p.nd, p.B, p.dg, p.K
+    NR = p.NRB if with_grads else p.NRF
+
+    off = offset.reshape((B, dg, K, nd) + p.OS).reshape(
+        B, dg, K, nd, p.P).astype(jnp.float32)
+
+    flat = jax.lax.iota(jnp.int32, p.P)
+    rows = [None] * NR
+    gate = None
+    pos_all, ocoord_all = [], []
+    taps_np = np.asarray([[tb[d] for tb in p.tap_base] for d in range(nd)],
+                         np.float32)                       # (nd, K)
+    for d in range(nd):
+        ocoord = ((flat // p.qstride[d]) % p.S[d]).astype(jnp.float32)
+        base = ocoord[None, :] + jnp.asarray(taps_np[d])[:, None]  # (K, P)
+        pos = base[None, None] + off[:, :, :, d]           # (B, dg, K, P)
+        g = (pos > -1.0) & (pos < float(p.S[d]))
+        gate = g if gate is None else (gate & g)
+        pos_all.append(pos)
+        ocoord_all.append(ocoord)
+
+    gatef = gate.astype(jnp.float32)
+    for d in range(nd):
+        pos = pos_all[d]
+        fl = jnp.floor(pos)
+        fr = pos - fl
+        base = (ocoord_all[d][None, :]
+                + jnp.asarray(taps_np[d])[:, None])        # (K, P)
+        rel = fl - base[None, None]                        # (B, dg, K, P)
+        corner0 = base[None, None] + float(p.lo[d])        # row dy=0 corner
+        for dy in range(p.W[d]):
+            dyf = float(p.lo[d] + dy)
+            sel_lo = rel == dyf                  # this row is the low corner
+            sel_hi = rel == dyf - 1.0            # this row is the high corner
+            w = (jnp.where(sel_lo, 1.0 - fr, 0.0)
+                 + jnp.where(sel_hi, fr, 0.0))
+            crn = corner0 + float(dy)
+            inimg = (crn >= 0.0) & (crn < float(p.S[d]))
+            w = jnp.where(inimg, w, 0.0)
+            if d == 0:
+                w = w * gatef
+            rows[p.row0[d] + dy] = w
+            if with_grads:
+                # d(weight)/d(pos_d): -1 on the low corner, +1 on the high.
+                dw = (jnp.where(sel_lo, -1.0, 0.0)
+                      + jnp.where(sel_hi, 1.0, 0.0))
+                dw = jnp.where(inimg, dw, 0.0)
+                if d == 0:
+                    dw = dw * gatef
+                rows[p.drow0[d] + dy] = dw
+
+    if mask is not None:
+        rows[p.mask_row] = mask.reshape(B, dg, K, p.P).astype(jnp.float32)
+    else:
+        rows[p.mask_row] = jnp.ones((B, dg, K, p.P), jnp.float32)
+    zero = jnp.zeros((B, dg, K, p.P), jnp.float32)
+    rows = [r if r is not None else zero for r in rows]
+    cf = jnp.stack(rows, axis=3)                           # (B, dg, K, NR, P)
+    return jnp.pad(cf, ((0, 0),) * 4 + ((0, p.PPAD - p.P),))
+
+
+def _x_prep(x, plan: SBPlan):
+    """(B, C, *S) -> (B, dg, Cg, QPAD) flat, RPAD zeros on both ends."""
+    p = plan
+    xr = x.reshape(p.B, p.dg, p.Cg, p.P)
+    return jnp.pad(xr, ((0, 0), (0, 0), (0, 0),
+                        (p.RPAD, p.QPAD - p.P - p.RPAD)))
+
+
+def _w2_prep(weight, plan: SBPlan, groups: int):
+    """(O, C/g, *kernel) -> (dg, Og, K*Cg), k-major columns.
+
+    Slab d covers input channels [d*Cg, (d+1)*Cg) of conv group
+    gi = d // (dg/g); its GEMM contracts those channels for the group's
+    Og output channels (reference grouped GEMM deformable_conv.cu:174-180).
+    """
+    p = plan
+    O = weight.shape[0]
+    g = groups
+    Og = O // g
+    spg = p.dg // g                      # slabs per group
+    w = weight.reshape(g, Og, spg, p.Cg, p.K)
+    w = w.transpose(0, 2, 4, 1, 3)       # (g, spg, K, Og, Cg)
+    return w.reshape(p.dg, p.K, Og, p.Cg).transpose(0, 2, 1, 3).reshape(
+        p.dg, Og, p.K * p.Cg)
+
+
+def _w2_unprep(gw2, plan: SBPlan, O: int, groups: int, kernel):
+    """Inverse of _w2_prep for grad_weight."""
+    p = plan
+    g = groups
+    Og = O // g
+    spg = p.dg // g
+    w = gw2.reshape(p.dg, Og, p.K, p.Cg).transpose(0, 2, 1, 3)
+    w = w.reshape(g, spg, p.K, Og, p.Cg).transpose(0, 3, 1, 4, 2)
+    return w.reshape((O, (p.Cg * spg)) + tuple(kernel))
+
+
+def _cdtype(precision: str):
+    return jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+
+
+def _fwd_kernel(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan, prec,
+                cd, save_cols: bool):
+    p = plan
+    if save_cols:
+        cols_ref, acc_ref, acc2_ref = rest
+    else:
+        cols_ref = None
+        acc_ref, acc2_ref = rest
+    t = pl.program_id(2)
+    xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for delta, pairs in p.deltas.items():
+        xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+        for k, dyvec in pairs:
+            c = cf_ref[0, 0, k, p.row0[0] + dyvec[0], :]
+            for d in range(1, p.nd):
+                c = c * cf_ref[0, 0, k, p.row0[d] + dyvec[d], :]
+            acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += c[None, :].astype(cd) * xs
+
+    # Relayout (Cg, K*BLK) -> (K*Cg, BLK) by slice copies (in-kernel
+    # transposes do not lower on TPU), save the pre-mask columns residual,
+    # then apply the mask and run the grouped GEMM on the MXU.
+    for k in range(p.K):
+        acc2_ref[pl.ds(k * p.Cg, p.Cg), :] = \
+            acc_ref[:, pl.ds(k * p.BLK, p.BLK)]
+    if save_cols:
+        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
+    if p.modulated:
+        for k in range(p.K):
+            m = cf_ref[0, 0, k, p.mask_row, :].astype(acc2_ref.dtype)
+            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
+    w2 = w2_ref[0].astype(cd)
+    out_ref[0, 0, 0] = jax.lax.dot_general(
+        w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
+def _fwd_call(xr, cf, w2, plan: SBPlan, Og: int, precision: str,
+              save_cols: bool = False):
+    p = plan
+    cd = _cdtype(precision)
+    prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+            else jax.lax.Precision.DEFAULT)
+    NR = cf.shape[3]
+    out_shapes = [jax.ShapeDtypeStruct((p.B, p.dg, p.NT, Og, p.BLK),
+                                       jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, 1, Og, p.BLK),
+                              lambda b, d, t: (b, d, t, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if save_cols:
+        # The saved pre-mask columns feed grad_mask / grad_weight; keep
+        # them exact in float32 mode, compact otherwise.
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (p.B, p.dg, p.NT, p.K * p.Cg, p.BLK),
+            jnp.float32 if precision == "float32" else jnp.bfloat16))
+        out_specs.append(pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
+                                      lambda b, d, t: (b, d, t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    grid_spec = pl.GridSpec(
+        grid=(p.B, p.dg, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, p.K, NR, p.BLK),
+                         lambda b, d, t: (b, d, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p.Cg, p.QPAD),
+                         lambda b, d, t: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Og, p.K * p.Cg),
+                         lambda b, d, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((p.Cg, p.K * p.BLK), jnp.float32 if cd == jnp.float32
+                       else jnp.bfloat16),
+            pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32 if cd == jnp.float32
+                       else jnp.bfloat16),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, plan=p, prec=prec, cd=cd,
+                          save_cols=save_cols),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(cf, xr, w2)
+    return (out[0], out[1]) if save_cols else (out[0], None)
+
+
+def _finish_out(outp, plan: SBPlan, O: int, groups: int, bias, out_dtype):
+    """(B, dg, NT, Og, BLK) partials -> (B, O, *OS) with group reduction."""
+    p = plan
+    g = groups
+    Og = O // g
+    out = outp.transpose(0, 1, 3, 2, 4).reshape(p.B, p.dg, Og, p.PPAD)
+    out = out[..., :p.P]
+    out = out.reshape(p.B, g, p.dg // g, Og, p.P).sum(axis=2)
+    out = out.reshape(p.B, O, p.P)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, :, None]
+    return out.reshape((p.B, O) + p.OS).astype(out_dtype)
+
+
+def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
+                        precision: str, offset_bound):
+    """Forward-only entry (no residuals; inference / tests)."""
+    plan = SBPlan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                  spec.out_sizes(x.shape[2:]), offset_bound)
+    O = weight.shape[0]
+    Og = O // spec.groups
+    m = mask if (mask is not None and getattr(mask, "size", 1)) else None
+    cf = _coef_prep(offset, m, spec, plan)
+    xr = _x_prep(x.astype(jnp.float32), plan)
+    w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
+    outp, _ = _fwd_call(xr, cf, w2, plan, Og, precision)
+    return _finish_out(outp, plan, O, spec.groups, bias, x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
+                gx_ref, gs_ref, gw_ref,
+                gcols_ref, gxw_ref, *, plan: SBPlan, prec, cd):
+    """One output block of the backward.
+
+    Computes, per (batch, dg-slab, block): grad_x scattered into the
+    VMEM-resident plane (deterministic: the TPU grid is sequential — this
+    replaces the reference's atomicAdd scatter, deformable_conv.cu:268-283),
+    offset/mask gradient rows (analytic forms, deformable_conv.cu:281-283,
+    mdeformable_conv.cu:295-315), and grad_weight accumulated on the MXU
+    (reference deformable_conv.cu:404-406).
+    """
+    p = plan
+    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        gx_ref[...] = jnp.zeros_like(gx_ref)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
+    gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
+
+    # gcols = W2^T @ gout, contract Og on the MXU (reference
+    # deformable_conv.cu:384 addmm_ beta=0).
+    gcols_ref[...] = jax.lax.dot_general(
+        w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+    for k in range(p.K):
+        sl = pl.ds(k * p.Cg, p.Cg)
+        colnm = cols_ref[0, 0, 0, sl, :].astype(jnp.float32)
+        gcol = gcols_ref[sl, :]
+        # grad_mask = sum_c gcol * unmasked column value
+        # (mdeformable_conv.cu:315) — exact at mask == 0.
+        gs_ref[0, 0, 0, k, p.nd, :] = jnp.sum(gcol * colnm, axis=0,
+                                              keepdims=True)[0]
+        if p.modulated:
+            m = cf_ref[0, 0, k, p.mask_row, :]
+            col = colnm * m[None, :]
+            gcoln = gcol * m[None, :]
+            gcols_ref[sl, :] = gcoln          # masked gcol for gx / s-grads
+        else:
+            col = colnm
+        # grad_weight slice += gout @ col^T (deformable_conv.cu:404-406).
+        gw_ref[0, :, sl] += jax.lax.dot_general(
+            gout, col.astype(cd), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        for r in range(p.nd):
+            gs_ref[0, 0, 0, k, r, :] = jnp.zeros((p.BLK,), jnp.float32)
+
+    gxw_ref[...] = jnp.zeros_like(gxw_ref)
+    for delta, pairs in p.deltas.items():
+        xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+        tmp = None
+        for k, dyvec in pairs:
+            arows = [cf_ref[0, 0, k, p.row0[d] + dyvec[d], :]
+                     for d in range(p.nd)]
+            ab = arows[0]
+            for d in range(1, p.nd):
+                ab = ab * arows[d]
+            gcoln = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
+            contrib = ab[None, :] * gcoln
+            tmp = contrib if tmp is None else tmp + contrib
+            # r0(p) = sum_c gcoln * x(p + delta): one correlation row per
+            # (tap, shift); all offset grads reduce against it.
+            r0 = jnp.sum(gcoln * xs, axis=0, keepdims=True)[0]
+            for d in range(p.nd):
+                dab = cf_ref[0, 0, k, p.drow0[d] + dyvec[d], :]
+                for e in range(p.nd):
+                    if e != d:
+                        dab = dab * arows[e]
+                gs_ref[0, 0, 0, k, d, :] += dab * r0
+        gxw_ref[:, p.RPAD + delta:p.RPAD + delta + p.BLK] += tmp
+    gx_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)] += gxw_ref[...]
+
+
+def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
+              precision: str, groups: int):
+    p = plan
+    cd = _cdtype(precision)
+    prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+            else jax.lax.Precision.DEFAULT)
+    NR = cf.shape[3]
+    NRS = 8
+    spg = p.dg // groups                   # slabs per conv group
+    grid_spec = pl.GridSpec(
+        grid=(p.B, p.dg, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, p.K, NR, p.BLK),
+                         lambda b, d, t: (b, d, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p.Cg, p.QPAD),
+                         lambda b, d, t: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Og, p.K * p.Cg),
+                         lambda b, d, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Og, p.BLK),
+                         lambda b, d, t: (b, d // spg, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
+                         lambda b, d, t: (b, d, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p.Cg, p.QPAD),
+                         lambda b, d, t: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K, NRS, p.BLK),
+                         lambda b, d, t: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Og, p.K * p.Cg),
+                         lambda b, d, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
+            pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, plan=p, prec=prec, cd=cd),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K, NRS, p.BLK),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(cf, xr, w2, goutp, cols)
+
+
+def _gout_prep(g, plan: SBPlan, O: int, groups: int):
+    """Cotangent (B, O, *OS) -> (B, g, Og, PPAD) f32, padded."""
+    p = plan
+    gout = g.reshape(p.B, groups, O // groups, p.P).astype(jnp.float32)
+    return jnp.pad(gout, ((0, 0),) * 3 + ((0, p.PPAD - p.P),))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def shift_conv(x, offset, mask, weight, spec: DeformConvSpec,
+               precision: str, offset_bound):
+    """Fused shift-blend deformable conv (no bias), differentiable in
+    x/offset/mask/weight.  `mask` may be a zero-size placeholder."""
+    out, _ = _shift_conv_impl(x, offset, mask, weight, spec, precision,
+                              offset_bound, save_cols=False)
+    return out
+
+
+def _shift_conv_impl(x, offset, mask, weight, spec, precision, offset_bound,
+                     save_cols):
+    plan = SBPlan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                  spec.out_sizes(x.shape[2:]), offset_bound)
+    O = weight.shape[0]
+    Og = O // spec.groups
+    m = mask if (mask is not None and mask.size) else None
+    cf = _coef_prep(offset, m, spec, plan, with_grads=save_cols)
+    xr = _x_prep(x.astype(jnp.float32), plan)
+    w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
+    outp, cols = _fwd_call(xr, cf, w2, plan, Og, precision,
+                           save_cols=save_cols)
+    out = _finish_out(outp, plan, O, spec.groups, None, x.dtype)
+    return out, (cf, xr, w2, cols)
+
+
+def _shift_conv_fwd(x, offset, mask, weight, spec, precision, offset_bound):
+    out, (cf, xr, w2, cols) = _shift_conv_impl(
+        x, offset, mask, weight, spec, precision, offset_bound,
+        save_cols=True)
+    return out, (x, offset, mask, weight, cf, xr, w2, cols)
+
+
+def _shift_conv_bwd(spec, precision, offset_bound, res, g):
+    x, offset, mask, weight, cf, xr, w2, cols = res
+    plan = SBPlan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                  spec.out_sizes(x.shape[2:]), offset_bound)
+    p = plan
+    O = weight.shape[0]
+    Og = O // spec.groups
+    goutp = _gout_prep(g, plan, O, spec.groups)
+    gxp, gs, gw2 = _bwd_call(xr, cf, w2, goutp, cols, plan, Og, precision,
+                             spec.groups)
+
+    gx = gxp[:, :, :, p.RPAD:p.RPAD + p.P].reshape((p.B, p.C) + p.S)
+    gx = gx.astype(x.dtype)
+
+    # gs (B, dg, NT, K, 8, BLK) -> (B, dg, K, r, P)
+    gs = gs.transpose(0, 1, 3, 4, 2, 5).reshape(
+        p.B, p.dg, p.K, 8, p.PPAD)[..., :p.P]
+    goff = gs[:, :, :, :p.nd]                      # (B, dg, K, nd, P)
+    goff = goff.reshape(offset.shape).astype(offset.dtype)
+    if mask is not None and mask.size:
+        gmask = gs[:, :, :, p.nd].reshape(mask.shape).astype(mask.dtype)
+    else:
+        gmask = jnp.zeros_like(mask) if mask is not None else None
+    gweight = _w2_unprep(gw2, plan, O, spec.groups,
+                         spec.kernel).astype(weight.dtype)
+    return gx, goff, gmask, gweight
+
+
+shift_conv.defvjp(_shift_conv_fwd, _shift_conv_bwd)
+
+
+def ineligible_reason(x, spec: DeformConvSpec, offset_bound,
+                      out_sizes=None) -> Optional[str]:
+    """None if the shift-blend kernel supports this config."""
+    if offset_bound is None:
+        return "no offset_bound provided (shiftblend needs bounded offsets)"
+    if spec.ndim not in (2, 3):
+        return "shiftblend supports 2D and 3D only"
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return f"unsupported dtype {x.dtype}"
+    if x.shape[1] % spec.deformable_groups:
+        return "channels not divisible by deformable_groups"
+    if out_sizes is not None and tuple(out_sizes) != spec.out_sizes(
+            x.shape[2:]):
+        return "out_sizes overrides not supported by shiftblend yet"
+    plan = SBPlan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                  spec.out_sizes(x.shape[2:]), offset_bound)
+    return plan.ineligible_reason(spec)
+
+
+def deform_conv_shift(x, offset, mask, weight, bias, spec: DeformConvSpec,
+                      precision: str = "tensorfloat32",
+                      offset_bound: float = 2.0):
+    """Full shift-blend deformable conv with bias (dispatch entry)."""
+    in_dtype = x.dtype
+    if x.dtype == jnp.float16:
+        x = x.astype(jnp.float32)
+    mask_arr = mask if mask is not None else jnp.zeros((0,), x.dtype)
+    out = shift_conv(x, offset, mask_arr, weight, spec, precision,
+                     offset_bound)
+    if bias is not None:
+        out = out + bias.astype(out.dtype).reshape(
+            (1, -1) + (1,) * spec.ndim)
+    return out.astype(in_dtype)

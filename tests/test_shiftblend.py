@@ -1,0 +1,124 @@
+"""Shift-blend kernel (ops/pallas/shiftblend.py) vs the XLA oracle.
+
+Interpreter-mode parity for forward + all gradients, the bounded-offset
+contract (out-of-window taps are dropped like the reference's out-of-image
+gate, deformable_conv.cu:78), and dispatch/eligibility behavior.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import modulated_deform_conv_tpu as mdc
+from modulated_deform_conv_tpu.ops import core
+from modulated_deform_conv_tpu.ops.pallas import shiftblend as sb
+from modulated_deform_conv_tpu.utils.config import DeformConvSpec
+
+RNG = np.random.default_rng(7)
+
+
+def _inputs(nd, B, C, S, k, g, dg, modulated, offscale, dil=1):
+    kt = (k,) * nd
+    pad = (dil * (k - 1)) // 2
+    spec = DeformConvSpec.make(nd, kt, 1, pad, dil, g, dg, 64,
+                               modulated=modulated)
+    OS = spec.out_sizes(S)
+    K = spec.tap_count
+    x = jnp.asarray(RNG.standard_normal((B, C) + tuple(S)), jnp.float32)
+    off = jnp.asarray(RNG.uniform(-offscale, offscale,
+                                  (B, dg * nd * K) + OS), jnp.float32)
+    m = (jnp.asarray(RNG.uniform(0, 1, (B, dg * K) + OS), jnp.float32)
+         if modulated else None)
+    w = jnp.asarray(RNG.standard_normal((C, C // g) + kt) * 0.1, jnp.float32)
+    return spec, x, off, m, w
+
+
+def test_forward_matches_oracle_2d():
+    spec, x, off, m, w = _inputs(2, 2, 16, (8, 9), 3, 2, 2, True, 1.9)
+    ref = core.deform_conv_nd(x, off, m, w, None, spec)
+    got = sb.shift_conv_fwd_only(x, off, m, w, None, spec, "float32", 2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_oracle_2d():
+    spec, x, off, m, w = _inputs(2, 1, 8, (8, 8), 3, 1, 1, True, 0.9)
+
+    def loss_sb(x, off, m, w):
+        out = sb.shift_conv(x, off, m, w, spec, "float32", 1.0)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(x, off, m, w):
+        out = core.deform_conv_nd(x, off, m, w, None, spec)
+        return jnp.sum(out * jnp.cos(out))
+
+    gs = jax.grad(loss_sb, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(("gx", "goff", "gmask", "gw"), gs, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6, err_msg=name)
+
+
+def test_grads_match_oracle_3d():
+    spec, x, off, m, w = _inputs(3, 1, 8, (4, 5, 6), 3, 1, 1, False, 0.45)
+
+    def loss_sb(x, off, w):
+        out = sb.shift_conv(x, off, jnp.zeros((0,), x.dtype), w, spec,
+                            "float32", 0.5)
+        return jnp.sum(out * out)
+
+    def loss_ref(x, off, w):
+        out = core.deform_conv_nd(x, off, None, w, None, spec)
+        return jnp.sum(out * out)
+
+    gs = jax.grad(loss_sb, argnums=(0, 1, 2))(x, off, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, off, w)
+    for name, a, b in zip(("gx", "goff", "gw"), gs, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6, err_msg=name)
+
+
+def test_out_of_bound_offsets_drop_taps():
+    """Offsets beyond offset_bound lose the tap's contribution — exactly
+    like the reference's open-interval gate drops off-image taps."""
+    spec, x, off, m, w = _inputs(2, 1, 8, (9, 9), 3, 1, 1, False, 0.4)
+    off = np.asarray(off)
+    # Send tap f=4 (center) at one output position far out of the window.
+    off_big = off.copy()
+    off_big[0, 8, 4, 4] = 5.0       # channel 2*f = 8 -> tap 4, dim 0
+    # Oracle with the same tap pushed out of the image entirely (gate=0).
+    off_gated = off.copy()
+    off_gated[0, 8, 4, 4] = -100.0
+    got = sb.shift_conv_fwd_only(jnp.asarray(x), jnp.asarray(off_big), None,
+                                 w, None, spec, "float32", 0.5)
+    ref = core.deform_conv_nd(x, jnp.asarray(off_gated), None, w, None, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dispatch_and_eligibility():
+    spec, x, off, m, w = _inputs(2, 1, 8, (8, 8), 3, 1, 1, True, 0.9)
+    # No offset_bound -> shiftblend unavailable, impl="shiftblend" raises.
+    with pytest.raises(NotImplementedError, match="offset_bound"):
+        mdc.modulated_deform_conv2d(x, off, m, w, None, stride=1, padding=1,
+                                    impl="shiftblend")
+    # Stride 2 -> ineligible.
+    assert sb.ineligible_reason(
+        x, DeformConvSpec.make(2, 3, 2, 1, 1, 1, 1, modulated=True),
+        2.0) is not None
+    # Valid-conv (OS != S) -> ineligible.
+    assert sb.ineligible_reason(
+        x, DeformConvSpec.make(2, 3, 1, 0, 1, 1, 1, modulated=True),
+        2.0) is not None
+    # Eligible config reachable through the public API.
+    out = mdc.modulated_deform_conv2d(x, off, m, w, None, stride=1,
+                                      padding=1, impl="shiftblend",
+                                      offset_bound=1.0)
+    ref = mdc.modulated_deform_conv2d(x, off, m, w, None, stride=1,
+                                      padding=1, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
