@@ -172,27 +172,46 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
                         mesh: Mesh, batch_axis: Optional[str] = "data",
                         spatial_axis: Optional[str] = "space",
                         max_offset: float = 0.0,
-                        halo: Optional[int] = None) -> jax.Array:
-    """Deformable conv over a (batch, spatial) sharded mesh.
+                        halo: Optional[int] = None,
+                        group_axis: Optional[str] = None) -> jax.Array:
+    """Deformable conv over a (batch, spatial, group) sharded mesh.
 
-    x (B,C,H,W[,L]) is sharded (batch_axis, None, spatial_axis, None[, None]);
-    offset/mask shard the same way on their output grid; weight/bias are
-    replicated.  Returns output sharded like the input.
+    x (B,C,H,W[,L]) is sharded (batch_axis, [group_axis], spatial_axis,
+    None[, None]); offset/mask shard the same way on their output grid;
+    weight/bias are replicated unless `group_axis` is given.  Returns output
+    sharded like the input (out channels on `group_axis` when set).
 
     `max_offset` is the bounded-offset contract: samples displaced beyond
     ceil(max_offset) rows past the shard's halo are treated as out-of-image
     (zero).  `halo` overrides the computed exchange width.
+
+    `group_axis` is the tensor-parallel analog of the reference's per-group
+    GEMM split (deformable_conv.cu:163-180 runs one addmm_ per group — the
+    GEMM is block-diagonal over groups, so it shards cleanly):
+
+    * **group-aligned** (mesh axis size divides both `groups` and
+      `deformable_groups`): input channels, offset/mask channels, weight
+      output channels, and the output all shard; the local op runs with
+      groups/n and dg/n and NO collectives (the backward needs none
+      either — every gradient is channel-local).
+    * **within-group TP** (groups == 1, O divisible by the axis): weight
+      and output shard along O; x/offset/mask are replicated on the axis;
+      shard_map's transpose psums grad_x/grad_offset/grad_mask across the
+      axis automatically.
     """
     spec.validate(x.shape, offset.shape, weight.shape,
                   None if mask is None else mask.shape,
                   None if bias is None else bias.shape)
     nd = spec.ndim
-    B, H = x.shape[0], x.shape[2]
+    B, C, H = x.shape[0], x.shape[1], x.shape[2]
+    O = weight.shape[0]
     OS = spec.out_sizes(x.shape[2:])
     OH = OS[0]
+    g, dg = spec.groups, spec.deformable_groups
 
     n_b = mesh.shape[batch_axis] if batch_axis else 1
     n_s = mesh.shape[spatial_axis] if spatial_axis else 1
+    n_g = mesh.shape[group_axis] if group_axis else 1
     if B % n_b:
         raise ValueError(f"batch {B} not divisible by mesh axis {n_b}")
     if n_s > 1:
@@ -207,15 +226,41 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
     if halo is None:
         halo = required_halo(spec, max_offset) if n_s > 1 else 0
 
+    # Group/channel (TP-analog) sharding mode.
+    lspec = spec
+    group_aligned = False
+    if n_g > 1:
+        if g % n_g == 0 and dg % n_g == 0:
+            group_aligned = True
+            if O % n_g:
+                raise ValueError(f"out channels {O} not divisible by "
+                                 f"group mesh axis {n_g}")
+            lspec = DeformConvSpec(
+                ndim=nd, kernel=spec.kernel, stride=spec.stride,
+                padding=spec.padding, dilation=spec.dilation,
+                groups=g // n_g, deformable_groups=dg // n_g,
+                in_step=spec.in_step, modulated=spec.modulated)
+        elif g == 1 and O % n_g == 0:
+            group_aligned = False
+        else:
+            raise ValueError(
+                f"group_axis size {n_g} must divide groups={g} and "
+                f"deformable_groups={dg} (group-aligned mode), or groups "
+                f"must be 1 with O % {n_g} == 0 (within-group TP)")
+
     bspec = batch_axis if n_b > 1 else None
     sspec = spatial_axis if n_s > 1 else None
-    x_ps = P(bspec, None, sspec, *([None] * (nd - 1)))
-    out_ps = x_ps
-    off_ps = x_ps
-    mask_ps = x_ps
+    gspec = group_axis if n_g > 1 else None
+    cin_spec = gspec if group_aligned else None
+    x_ps = P(bspec, cin_spec, sspec, *([None] * (nd - 1)))
+    off_ps = P(bspec, cin_spec, sspec, *([None] * (nd - 1)))
+    mask_ps = off_ps
+    out_ps = P(bspec, gspec, sspec, *([None] * (nd - 1)))
+    w_ps = P(gspec, *([None] * (nd + 1)))
+    b_ps = P(gspec)
 
     in_specs = [x_ps, off_ps] + ([mask_ps] if mask is not None else []) + \
-        [P()] + ([P()] if bias is not None else [])
+        [w_ps] + ([b_ps] if bias is not None else [])
 
     def fn(*args):
         if mask is not None:
@@ -227,9 +272,9 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
         w_l = rest[0]
         b_l = rest[1] if len(rest) > 1 else None
         if n_s > 1:
-            return _local_conv(x_l, off_l, mask_l, w_l, b_l, spec, halo,
+            return _local_conv(x_l, off_l, mask_l, w_l, b_l, lspec, halo,
                                spatial_axis, n_s, OH // n_s, H // n_s)
-        return ops_api._dispatch(x_l, off_l, mask_l, w_l, b_l, spec,
+        return ops_api._dispatch(x_l, off_l, mask_l, w_l, b_l, lspec,
                                  impl="auto")
 
     args = (x, offset) + ((mask,) if mask is not None else ()) + (weight,) \
@@ -241,40 +286,48 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
 def sharded_deform_conv2d(x, offset, weight, bias=None, *, mesh, stride=1,
                           padding=0, dilation=1, groups=1,
                           deformable_groups=1, in_step=64, batch_axis="data",
-                          spatial_axis="space", max_offset=0.0, halo=None):
+                          spatial_axis="space", max_offset=0.0, halo=None,
+                          group_axis=None):
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, False)
     return sharded_deform_conv(x, offset, None, weight, bias, spec, mesh,
-                               batch_axis, spatial_axis, max_offset, halo)
+                               batch_axis, spatial_axis, max_offset, halo,
+                               group_axis)
 
 
 def sharded_modulated_deform_conv2d(x, offset, mask, weight, bias=None, *,
                                     mesh, stride=1, padding=0, dilation=1,
                                     groups=1, deformable_groups=1, in_step=64,
                                     batch_axis="data", spatial_axis="space",
-                                    max_offset=0.0, halo=None):
+                                    max_offset=0.0, halo=None,
+                                    group_axis=None):
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, True)
     return sharded_deform_conv(x, offset, mask, weight, bias, spec, mesh,
-                               batch_axis, spatial_axis, max_offset, halo)
+                               batch_axis, spatial_axis, max_offset, halo,
+                               group_axis)
 
 
 def sharded_deform_conv3d(x, offset, weight, bias=None, *, mesh, stride=1,
                           padding=0, dilation=1, groups=1,
                           deformable_groups=1, in_step=64, batch_axis="data",
-                          spatial_axis="space", max_offset=0.0, halo=None):
+                          spatial_axis="space", max_offset=0.0, halo=None,
+                          group_axis=None):
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, False)
     return sharded_deform_conv(x, offset, None, weight, bias, spec, mesh,
-                               batch_axis, spatial_axis, max_offset, halo)
+                               batch_axis, spatial_axis, max_offset, halo,
+                               group_axis)
 
 
 def sharded_modulated_deform_conv3d(x, offset, mask, weight, bias=None, *,
                                     mesh, stride=1, padding=0, dilation=1,
                                     groups=1, deformable_groups=1, in_step=64,
                                     batch_axis="data", spatial_axis="space",
-                                    max_offset=0.0, halo=None):
+                                    max_offset=0.0, halo=None,
+                                    group_axis=None):
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, True)
     return sharded_deform_conv(x, offset, mask, weight, bias, spec, mesh,
-                               batch_axis, spatial_axis, max_offset, halo)
+                               batch_axis, spatial_axis, max_offset, halo,
+                               group_axis)

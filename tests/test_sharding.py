@@ -100,21 +100,127 @@ def test_sharded_3d_matches():
                                atol=2e-5)
 
 
-def test_out_of_halo_contract_raises_nothing_but_zeroes():
-    """Samples displaced beyond the halo are zeroed (documented bounded-
-    offset contract) — verify against a reference where those taps are
-    globally gated out by clamping."""
-    x, off, mask, w, b = _case(max_off=1.0, seed=7)
+def test_out_of_halo_contract_drops_taps():
+    """Offsets genuinely beyond the halo: the sharded op must treat those
+    samples as out-of-image (documented bounded-offset contract,
+    sharding.py module docstring), matching an oracle where the same taps
+    are explicitly gated out; in-contract positions stay exact."""
+    x, off, mask, w, b = _case(max_off=1.0, seed=7)  # halo will be 2
     mesh = make_mesh((1, 8), ("data", "space"))
-    # halo=1 < true max offset 1.0+pad: contract still exact because
-    # required halo for max_offset=1.0 is 2; use exact halo and compare.
-    got = sharded_modulated_deform_conv2d(
-        x, off, mask, w, b, mesh=mesh, stride=1, padding=1, groups=2,
-        deformable_groups=2, max_offset=1.0)
-    want = modulated_deform_conv2d(x, off, mask, w, b, stride=1, padding=1,
-                                   groups=2, deformable_groups=2)
+    # Shards: H=16 over 8 shards -> 2 rows/shard, halo=2 -> each local
+    # block covers global rows [2i-2, 2i+4).  An h-offset of +5 at output
+    # row 0 sends every tap to global rows {4,5,6}: inside the image (the
+    # unsharded op samples them) but fully past shard 0's halo.
+    off = np.asarray(off)
+    off_violate = off.copy()
+    off_violate[:, 0::2, 0, :] = 5.0          # all taps' h-offsets at oh=0
+    # Oracle: the same taps pushed out of the *image* so the open-interval
+    # gate (deformable_conv.cu:78) drops them in the unsharded op too.
+    off_gated = off.copy()
+    off_gated[:, 0::2, 0, :] = -1000.0
+
+    def sharded(o):
+        return sharded_modulated_deform_conv2d(
+            x, jnp.asarray(o), mask, w, b, mesh=mesh, stride=1, padding=1,
+            groups=2, deformable_groups=2, max_offset=1.0)
+
+    got = sharded(off_violate)
+    want = modulated_deform_conv2d(x, jnp.asarray(off_gated), mask, w, b,
+                                   stride=1, padding=1, groups=2,
+                                   deformable_groups=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
                                atol=2e-5)
+    # The violating output differs from the naive unsharded result (the
+    # contract is a real behavioral boundary, not a no-op).
+    naive = modulated_deform_conv2d(x, jnp.asarray(off_violate), mask, w, b,
+                                    stride=1, padding=1, groups=2,
+                                    deformable_groups=2)
+    assert float(jnp.max(jnp.abs(naive - got))) > 1e-3
+    # Gradients also honor the gate: d(out)/d(offset) is zero for the
+    # dropped taps in the sharded op.
+    g_sh = jax.grad(lambda o: sharded(o).var())(jnp.asarray(off_violate))
+    assert float(jnp.max(jnp.abs(np.asarray(g_sh)[:, 0::2, 0, :]))) == 0.0
+
+
+def test_required_halo_stride2_edges():
+    # stride 2, k 3, pad 1: upper halo p+m, lower (k-1)d+1-s-p+m = 0+m.
+    spec = DeformConvSpec.make(2, 3, stride=2, padding=1)
+    assert required_halo(spec, 0.0) == 1
+    assert required_halo(spec, 1.5) == 3
+    # stride 2, k 2, pad 0: footprint (k-1)+1-s-p = 0 -> halo = m only.
+    spec2 = DeformConvSpec.make(2, 2, stride=2, padding=0)
+    assert required_halo(spec2, 0.0) == 0
+    assert required_halo(spec2, 0.5) == 1
+
+
+@pytest.mark.parametrize("mesh_shape,axes", [
+    ((2, 2), ("data", "group")),
+    ((1, 2), ("data", "group")),
+])
+def test_group_aligned_tp_matches(mesh_shape, axes):
+    """Group-aligned TP: mesh axis divides groups and deformable_groups —
+    input channels, weight O, offsets and output all shard; no collectives
+    (the reference's per-group GEMM split, deformable_conv.cu:163-180)."""
+    x, off, mask, w, b = _case(C=8, O=8, g=2, dg=2, seed=11)
+    want = modulated_deform_conv2d(x, off, mask, w, b, stride=1, padding=1,
+                                   groups=2, deformable_groups=2)
+    mesh = make_mesh(mesh_shape, axes)
+    got = sharded_modulated_deform_conv2d(
+        x, off, mask, w, b, mesh=mesh, stride=1, padding=1, groups=2,
+        deformable_groups=2, group_axis="group", spatial_axis=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_within_group_tp_matches_with_grads():
+    """Within-group TP (groups=1): weight/output shard along O, inputs are
+    replicated on the axis; grad_x/grad_offset/grad_mask psum across it."""
+    x, off, mask, w, b = _case(C=4, O=8, g=1, dg=2, seed=12)
+    mesh = make_mesh((2, 4), ("data", "group"))
+
+    def unsharded(x, off, mask, w, b):
+        return modulated_deform_conv2d(x, off, mask, w, b, stride=1,
+                                       padding=1, groups=1,
+                                       deformable_groups=2)
+
+    def sharded(x, off, mask, w, b):
+        return sharded_modulated_deform_conv2d(
+            x, off, mask, w, b, mesh=mesh, stride=1, padding=1, groups=1,
+            deformable_groups=2, group_axis="group", spatial_axis=None)
+
+    np.testing.assert_allclose(np.asarray(sharded(x, off, mask, w, b)),
+                               np.asarray(unsharded(x, off, mask, w, b)),
+                               rtol=2e-5, atol=2e-5)
+    g0 = jax.grad(lambda *a: unsharded(*a).var(), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    g1 = jax.grad(lambda *a: sharded(*a).var(), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_group_plus_spatial_tp_matches():
+    """3-way mesh: data x space x group with halo exchange composing with
+    the group-aligned channel sharding."""
+    x, off, mask, w, b = _case(C=8, O=8, g=2, dg=2, max_off=1.0, seed=13)
+    want = modulated_deform_conv2d(x, off, mask, w, b, stride=1, padding=1,
+                                   groups=2, deformable_groups=2)
+    mesh = make_mesh((2, 2, 2), ("data", "space", "group"))
+    got = sharded_modulated_deform_conv2d(
+        x, off, mask, w, b, mesh=mesh, stride=1, padding=1, groups=2,
+        deformable_groups=2, group_axis="group", max_offset=1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_group_axis_invalid_raises():
+    x, off, mask, w, b = _case(C=4, O=4, g=2, dg=2)
+    mesh = make_mesh((1, 8), ("data", "group"))
+    with pytest.raises(ValueError, match="group_axis"):
+        sharded_modulated_deform_conv2d(
+            x, off, mask, w, b, mesh=mesh, stride=1, padding=1, groups=2,
+            deformable_groups=2, group_axis="group", spatial_axis=None)
 
 
 def test_spatial_misalignment_raises():
