@@ -15,18 +15,18 @@ from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 
 def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
-    """Measured dispatch policy (v5e): the shift-blend kernel wins for 3D,
-    for small planes, and for small windows; the structured-sparse MXU
-    kernel wins for wide channel slabs (large C/dg) on big 2D planes."""
+    """Measured dispatch policy (v5e, benchmarks r2): shift-blend wins
+    across 2D (cfg1 4.3x, cfg2 1.15x fwd+bwd) for narrow channel slabs;
+    the structured-sparse MXU kernel wins for wide slabs (C/dg > 128,
+    cfg5 shapes) and for 3D windows too large to unroll (its rolled-loop
+    variant pays dynamic-slice overhead; it still serves the
+    large-volume configs gathermm cannot run at all)."""
     Cg = x.shape[1] // spec.deformable_groups
-    if spec.ndim == 3:
-        return True
     if Cg > 128:
         return False
-    if max(plan.W) <= 4:
-        return True
-    import math
-    return math.prod(x.shape[2:]) <= 8192
+    if spec.ndim == 3:
+        return plan.unrolled
+    return True
 
 
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,

@@ -226,6 +226,19 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
     if halo is None:
         halo = required_halo(spec, max_offset) if n_s > 1 else 0
 
+    # Observability (SURVEY §5): record analytic halo traffic and GEMM
+    # FLOPs for this traced call — bench harnesses divide by wall time
+    # for achieved-rate reporting.
+    from ..utils import profiling as _prof
+    if n_s > 1:
+        hs = _prof.halo_stats(spec, x.shape, halo, n_s)
+        _prof.counters.add("halo_bytes_fwd", hs["halo_bytes_fwd"])
+        _prof.counters.add("halo_rows", hs["halo_rows"])
+    _prof.counters.add("gemm_flops_fwd",
+                       _prof.op_stats(spec, x.shape,
+                                      weight.shape[0])["gemm_flops"])
+    _prof.counters.add("sharded_calls", 1)
+
     # Group/channel (TP-analog) sharding mode.
     lspec = spec
     group_aligned = False

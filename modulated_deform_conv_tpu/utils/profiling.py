@@ -72,6 +72,60 @@ def op_stats(spec: DeformConvSpec, x_shape: Sequence[int],
     }
 
 
+class Counters:
+    """Process-wide observability counters (SURVEY.md §5).
+
+    Static per-call quantities (halo bytes, collective counts, analytic
+    FLOPs) are recorded at trace time by the sharding/op layers; bench
+    harnesses divide by measured wall time for achieved-rate reporting.
+    Everything is plain Python state — no device traffic.
+    """
+
+    def __init__(self):
+        self._c: Dict[str, float] = {}
+
+    def add(self, name: str, value: float) -> None:
+        self._c[name] = self._c.get(name, 0.0) + float(value)
+        logger.debug("counter %s += %s", name, value)
+
+    def get(self, name: str, default: float = 0.0) -> float:
+        return self._c.get(name, default)
+
+    def snapshot(self) -> Dict[str, float]:
+        return dict(self._c)
+
+    def reset(self) -> None:
+        self._c.clear()
+
+
+counters = Counters()
+
+
+def halo_stats(spec: DeformConvSpec, x_shape: Sequence[int], halo: int,
+               n_spatial_shards: int, bytes_per_el: int = 4
+               ) -> Dict[str, float]:
+    """Analytic halo-exchange traffic of one sharded forward call.
+
+    Each interior spatial shard sends `halo` rows up and down (2 ppermute
+    payloads of halo * prod(S[1:]) * C elements); edge shards send one.
+    The backward transposes the exchange, doubling the traffic per
+    training step.
+    """
+    C = x_shape[1]
+    rest = math.prod(x_shape[3:]) if len(x_shape) > 3 else 1
+    B = x_shape[0]
+    row_bytes = C * rest * bytes_per_el * B
+    sends = 2 * (n_spatial_shards - 1)            # up + down ring edges
+    payload = halo * row_bytes
+    return {
+        "halo_rows": float(halo),
+        "halo_bytes_fwd": float(sends * payload),
+        "halo_bytes_fwdbwd": float(2 * sends * payload),
+        "ppermute_calls_fwd": float(2 if halo and n_spatial_shards > 1
+                                    else 0),
+    }
+
+
 @dataclasses.dataclass
 class Timer:
     """Wall-clock timer with block_until_ready, for quick perf checks."""
