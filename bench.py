@@ -135,7 +135,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer iters")
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "xla", "pallas"])
+                    choices=["auto", "xla", "pallas", "shiftblend"])
+    ap.add_argument("--offset-bound", type=float, default=2.0,
+                    help="bounded-offset contract passed to the op (the "
+                         "benchmark workload draws offsets in [-2, 2]); "
+                         "0 disables the shift-blend fast path")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -163,10 +167,13 @@ def main():
     w = jnp.asarray(rng.standard_normal((O, C // g, k, k)) * 0.05, dtype)
     bias = jnp.zeros((O,), dtype)
 
+    ob = args.offset_bound if args.offset_bound > 0 else None
+
     def loss(x, off, mask, w, bias):
         out = modulated_deform_conv2d(x, off, mask, w, bias, stride=1,
                                       padding=1, groups=g,
-                                      deformable_groups=dg, impl=args.impl)
+                                      deformable_groups=dg, impl=args.impl,
+                                      offset_bound=ob)
         return jnp.sum(out * out)
 
     def fwdbwd_step(x, off, mask, w, bias):
@@ -201,6 +208,7 @@ def main():
         "config": "DCNv2 B=8 256ch 56x56 g=dg=4 bias (BASELINE config 2)",
         "dtype": args.dtype,
         "impl": args.impl,
+        "offset_bound": args.offset_bound,
         "fwd_ms": t_fwd * 1e3,
         "fwdbwd_ms": t_fb * 1e3,
         "samples_per_s_fwd": samples_s_fwd,

@@ -42,7 +42,7 @@ def build_case(name, op, nd, B, C, O, S, k, g, dg, modulated, bias, in_step,
     args.append(w)
     args.append(jnp.zeros((O,), jnp.float32) if bias else None)
     kwargs = dict(stride=1, padding=k // 2, groups=g, deformable_groups=dg,
-                  in_step=in_step, **kw)
+                  in_step=in_step, offset_bound=off_scale, **kw)
     return dict(name=name, op=op, args=args, kwargs=kwargs, batch=B)
 
 

@@ -599,10 +599,10 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
     static slices (reads) or static-slice RMWs on the gwin scratch."""
     p = plan
     if has_cols:
-        cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gxw_ref, gwin_ref = rest
+        cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref = rest
         colacc_ref = None
     else:
-        (gx_ref, gs_ref, gw_ref, gcols_ref, gxw_ref, gwin_ref,
+        (gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
          colacc_ref) = rest
         cols_ref = None
     b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -661,8 +661,6 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
         for r in range(p.nd):
             gs_ref[0, 0, 0, k, r, :] = jnp.zeros((p.BLK,), jnp.float32)
 
-    gxw_ref[...] = jnp.zeros_like(gxw_ref)
-
     def body(dz, carry):
         for k in range(p.K):
             a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]
@@ -691,12 +689,14 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
                         rr = cf_ref[0, 0, k, dr if e == d else r, :][None, :]
                         q = q * rr
                     gs_ref[0, 0, 0, k, 1 + d, :] += (q * r0)[0]
-            gxw_ref[:, pl.ds(p.RPAD - p.IPAD + lead, p.BLK + 2 * p.IPAD)] \
-                += gwin_ref[...]
+            # Scatter the tap's window straight into the resident grad_x
+            # plane (aligned dynamic offset; the grid is sequential so
+            # accumulation is race-free and deterministic).
+            gx_ref[0, 0, :, pl.ds(t * p.BLK + p.RPAD - p.IPAD + lead,
+                                  p.BLK + 2 * p.IPAD)] += gwin_ref[...]
         return carry
 
     jax.lax.fori_loop(0, p.W[0], body, 0)
-    gx_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)] += gxw_ref[...]
 
 
 def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
@@ -741,13 +741,13 @@ def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
                          lambda b, d, t: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
-            pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32),
-        ] + ([] if p.unrolled else
-             [pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32)])
-          + ([] if cols is not None else
-             [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)]),
+        scratch_shapes=(
+            [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)]
+            + ([pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32)]
+               if p.unrolled else
+               [pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32)])
+            + ([] if cols is not None else
+               [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)])),
     )
     has_cols = cols is not None
     if p.unrolled:
