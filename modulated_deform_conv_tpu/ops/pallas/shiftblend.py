@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.config import DeformConvSpec, ntuple
 
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
 

@@ -67,6 +67,7 @@ def test_forward_matches_xla(cfg, modulated):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match_xla():
     x, off, mask, w, b, kw = _mk(*CONFIGS[1])
 
@@ -170,6 +171,7 @@ def test_precision_modes_close():
         assert rel < (1e-5 if prec == "float32" else 3e-2), (prec, rel)
 
 
+@pytest.mark.slow
 def test_3d_forward_and_grads_match_xla():
     B, C, D, H, W, k, dg = 1, 16, 6, 7, 5, 2, 2
     K = k ** 3
@@ -219,6 +221,7 @@ def test_eligibility_reasons():
     assert gathermm.ineligible_reason(xtiny, spec) is not None
 
 
+@pytest.mark.slow
 def test_streaming_mode_matches_resident(monkeypatch):
     """Planes too large for VMEM stream chunks from HBM via DMA; results
     must match the VMEM-resident path exactly."""
@@ -248,6 +251,7 @@ def test_streaming_mode_matches_resident(monkeypatch):
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_channel_part_split_matches(monkeypatch):
     """When the input plane exceeds the VMEM budget, channels split across
     a grid dimension; results (and all grads) must match the unsplit path."""

@@ -41,6 +41,7 @@ def test_forward_matches_oracle_2d():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_grads_match_oracle_2d():
     spec, x, off, m, w = _inputs(2, 1, 8, (8, 8), 3, 1, 1, True, 0.9)
 
@@ -61,6 +62,7 @@ def test_grads_match_oracle_2d():
                                    rtol=0, atol=3e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_grads_match_oracle_3d():
     spec, x, off, m, w = _inputs(3, 1, 8, (4, 5, 6), 3, 1, 1, False, 0.45)
 
@@ -122,3 +124,77 @@ def test_dispatch_and_eligibility():
                                       padding=1, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_loop_path_3d_matches():
+    """Rolled-loop kernels (window too large to unroll; needs a
+    128-aligned plane stride) match the oracle for forward + grads."""
+    spec, x, off, m, w = _inputs(3, 1, 8, (4, 8, 16), 3, 1, 1, True, 0.45)
+    plan = sb.SBPlan(spec, 1, 8, (4, 8, 16), (4, 8, 16), 0.5)
+    assert not plan.unrolled          # 729 pairs -> loop path
+
+    def loss_sb(x, off, m, w):
+        out = sb.shift_conv(x, off, m, w, spec, "float32", 0.5)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(x, off, m, w):
+        out = core.deform_conv_nd(x, off, m, w, None, spec)
+        return jnp.sum(out * jnp.cos(out))
+
+    gs = jax.grad(loss_sb, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(("gx", "goff", "gmask", "gw"), gs, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6, err_msg=name)
+
+
+@pytest.mark.slow
+def test_lead_chunked_matches(monkeypatch):
+    """Leading-axis halo chunking (large-volume path) matches the oracle
+    for forward + grads, including the cross-block grad_x halo sums."""
+    monkeypatch.setattr(sb, "_X_RESIDENT_BUDGET", 40 * 1024)
+    spec, x, off, m, w = _inputs(2, 1, 8, (12, 8), 3, 1, 1, True, 0.9)
+    assert sb._choose_lead(x, spec, 1.0) is not None
+
+    def loss_sb(x, off, m, w):
+        out = sb.deform_conv_shift(x, off, m, w, None, spec, "float32", 1.0)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(x, off, m, w):
+        out = core.deform_conv_nd(x, off, m, w, None, spec)
+        return jnp.sum(out * jnp.cos(out))
+
+    gs = jax.grad(loss_sb, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(("gx", "goff", "gmask", "gw"), gs, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6, err_msg=name)
+
+
+@pytest.mark.slow
+def test_no_save_cols_recompute_matches(monkeypatch):
+    """Oversized residual policy: columns/coefficients recomputed in the
+    backward (loop path) still give exact grads."""
+    monkeypatch.setattr(sb, "_RESIDUAL_BUDGET", 1024)
+    spec, x, off, m, w = _inputs(3, 1, 8, (4, 8, 16), 3, 1, 1, True, 0.45)
+
+    def loss_sb(x, off, m, w):
+        out = sb.shift_conv(x, off, m, w, spec, "float32", 0.5)
+        return jnp.sum(jnp.cos(out))
+
+    def loss_ref(x, off, m, w):
+        out = core.deform_conv_nd(x, off, m, w, None, spec)
+        return jnp.sum(jnp.cos(out))
+
+    gs = jax.grad(loss_sb, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(("gx", "goff", "gmask", "gw"), gs, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6, err_msg=name)

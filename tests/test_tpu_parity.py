@@ -9,7 +9,10 @@ benchmarks/tpu_parity_r02.txt.
 
 Run directly on the chip:  python tests/test_tpu_parity.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest
