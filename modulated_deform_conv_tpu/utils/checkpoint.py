@@ -8,40 +8,51 @@ use.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 
+logger = logging.getLogger("modulated_deform_conv_tpu")
+
 
 def save_checkpoint(path: str, tree: Any, step: Optional[int] = None) -> str:
-    """Save a pytree checkpoint.  Returns the directory written."""
+    """Save a pytree checkpoint.  Returns the directory written.
+
+    Uses orbax when importable; falls back to a numpy container only when
+    orbax is *absent* (ImportError).  An orbax save that starts and then
+    fails raises — silently degrading a real failure to the fallback
+    format could mask data loss.
+    """
     path = os.path.abspath(path)
     if step is not None:
         path = os.path.join(path, f"step_{step}")
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        logger.info("orbax not available; using numpy checkpoint fallback")
+    else:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(tree), force=True)
         ckptr.wait_until_finished()
         return path
-    except Exception:
-        # numpy fallback: flatten with jax.tree_util key paths
-        os.makedirs(path, exist_ok=True)
-        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-        arrs = {}
-        keys = []
-        for i, (kp, leaf) in enumerate(flat):
-            arrs[f"leaf_{i}"] = np.asarray(jax.device_get(leaf))
-            keys.append(jax.tree_util.keystr(kp))
-        np.savez(os.path.join(path, "arrays.npz"), **arrs)
-        with open(os.path.join(path, "keys.txt"), "w") as f:
-            f.write("\n".join(keys))
-        import pickle
-        with open(os.path.join(path, "treedef.pkl"), "wb") as f:
-            pickle.dump(treedef, f)
-        return path
+    # numpy fallback: flatten with jax.tree_util key paths
+    os.makedirs(path, exist_ok=True)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    arrs = {}
+    keys = []
+    for i, (kp, leaf) in enumerate(flat):
+        arrs[f"leaf_{i}"] = np.asarray(jax.device_get(leaf))
+        keys.append(jax.tree_util.keystr(kp))
+    np.savez(os.path.join(path, "arrays.npz"), **arrs)
+    with open(os.path.join(path, "keys.txt"), "w") as f:
+        f.write("\n".join(keys))
+    import pickle
+    with open(os.path.join(path, "treedef.pkl"), "wb") as f:
+        pickle.dump(treedef, f)
+    return path
 
 
 def restore_checkpoint(path: str, target: Any = None,

@@ -93,9 +93,11 @@ def _run_all(report=print):
          3, 4, 4, True, 1, both)
     case("2d_mod_dil2", "modulated_deform_conv2d", 2, 1, 16, 16, (21, 21),
          3, 1, 2, True, 2, both)
-    case("3d_plain", "deform_conv3d", 3, 1, 16, 16, (6, 10, 10), 3, 1, 1,
+    # 3D shapes with 128-aligned plane stride so the shift-blend
+    # rolled-loop kernels are eligible on TPU.
+    case("3d_plain", "deform_conv3d", 3, 1, 16, 16, (6, 8, 16), 3, 1, 1,
          False, 1, both)
-    case("3d_mod_dg2", "modulated_deform_conv3d", 3, 1, 16, 16, (6, 8, 8),
+    case("3d_mod_dg2", "modulated_deform_conv3d", 3, 1, 16, 16, (6, 8, 16),
          3, 1, 2, True, 1, both)
     # bf16 storage: sampling still runs in f32; bf16 rounding of the inputs
     # themselves dominates the tolerance.
