@@ -59,6 +59,11 @@ class _DeformConvBase(nn.Module):
     use_bias: bool = False            # reference default bias=False (:355)
     in_step: int = 64
     impl: str = "auto"
+    # Bounded-offset contract enabling the shift-blend fast path
+    # (ops/pallas/shiftblend.py); None keeps the general kernels.  With a
+    # Pack module trained with clip_offset (or small learned offsets),
+    # offset_bound is the matching inference-time declaration.
+    offset_bound: Optional[float] = None
     param_dtype: jnp.dtype = jnp.float32
 
     # ClassVar, not dataclass fields: subclasses override these statically.
@@ -94,7 +99,8 @@ class _DeformConvBase(nn.Module):
                       dilation=ntuple(self.dilation, self._ndim),
                       groups=self.groups,
                       deformable_groups=self.deformable_groups,
-                      in_step=self.in_step, impl=self.impl)
+                      in_step=self.in_step, impl=self.impl,
+                      offset_bound=self.offset_bound)
         if self._ndim == 2:
             if self._modulated:
                 return ops_api.modulated_deform_conv2d(
