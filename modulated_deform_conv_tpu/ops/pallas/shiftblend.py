@@ -894,6 +894,33 @@ def ineligible_reason(x, spec: DeformConvSpec, offset_bound,
     return reason
 
 
+def offsets_within_bound(offset, offset_bound) -> jax.Array:
+    """Scalar bool (traced): do all offsets satisfy |off| <= offset_bound?
+
+    The shift-blend kernel silently drops tap contributions whose offsets
+    exceed the declared bound (like the reference's open-interval gate
+    drops off-image taps, deformable_conv.cu:78).  Use this under jit for
+    a cheap runtime check, e.g.:
+
+        ok = offsets_within_bound(off, 2.0)
+        out = jax.lax.cond(ok, fast_path, general_path, ...)
+
+    or assert on the host between steps with `bool(ok)` / checkify.
+    """
+    bounds = (offset_bound if isinstance(offset_bound, (tuple, list))
+              else (offset_bound,))
+    if len(bounds) == 1:
+        return jnp.max(jnp.abs(offset)) <= jnp.asarray(bounds[0],
+                                                       offset.dtype)
+    nd = len(bounds)
+    # offset channel layout: dg * (K * nd) with dim d at channel nd*f + d
+    ch = offset.shape[1]
+    d_of_ch = jnp.arange(ch) % nd
+    lim = jnp.asarray(bounds, offset.dtype)[d_of_ch]
+    lim = lim.reshape((1, ch) + (1,) * (offset.ndim - 2))
+    return jnp.all(jnp.abs(offset) <= lim)
+
+
 def _reach0(spec: DeformConvSpec, offset_bound) -> int:
     """Leading-axis halo rows a chunked block needs on each side."""
     b = (offset_bound[0] if isinstance(offset_bound, (tuple, list))

@@ -198,3 +198,15 @@ def test_no_save_cols_recompute_matches(monkeypatch):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=3e-6, err_msg=name)
+
+
+def test_offsets_within_bound_validator():
+    off = jnp.zeros((1, 18, 4, 4), jnp.float32)
+    assert bool(sb.offsets_within_bound(off, 1.0))
+    off2 = off.at[0, 3, 2, 2].set(1.5)
+    assert not bool(sb.offsets_within_bound(off2, 1.0))
+    # per-axis bounds: channel nd*f+d layout (d=0 is h)
+    off3 = off.at[0, 0, 1, 1].set(1.8)      # h-offset
+    assert bool(sb.offsets_within_bound(off3, (2.0, 1.0)))
+    off4 = off.at[0, 1, 1, 1].set(1.8)      # w-offset
+    assert not bool(sb.offsets_within_bound(off4, (2.0, 1.0)))
