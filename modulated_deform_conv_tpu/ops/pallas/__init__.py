@@ -16,17 +16,13 @@ from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
     """Measured dispatch policy (v5e, benchmarks r2): shift-blend wins
-    across 2D (cfg1 4.3x, cfg2 1.15x fwd+bwd) for narrow channel slabs;
-    the structured-sparse MXU kernel wins for wide slabs (C/dg > 128,
-    cfg5 shapes) and for 3D windows too large to unroll (its rolled-loop
-    variant pays dynamic-slice overhead; it still serves the
-    large-volume configs gathermm cannot run at all)."""
+    across 2D (cfg1 4.3x, cfg2 1.2x fwd+bwd) for narrow channel slabs
+    and across 3D (cfg3 1.2x with the shared-window rolled loop; cfg4 is
+    shift-blend-only); the structured-sparse MXU kernel wins for wide
+    channel slabs (C/dg > 128, cfg5 shapes), which amortize its window
+    sweep on the MXU."""
     Cg = x.shape[1] // spec.deformable_groups
-    if Cg > 128:
-        return False
-    if spec.ndim == 3:
-        return plan.unrolled
-    return True
+    return Cg <= 128
 
 
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,

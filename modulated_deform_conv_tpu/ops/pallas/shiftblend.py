@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.config import DeformConvSpec, ntuple
 
-_VMEM_LIMIT = 110 * 1024 * 1024   # v5e: 128MB physical
+_VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
 
@@ -128,6 +128,10 @@ class SBPlan:
         # rolled-loop kernels can take 128-aligned dynamic windows.
         self.IPAD = _round_up(max(inner_reach, 128), 128)
         self.RPAD = _round_up(lead_reach * self.qstride[0] + self.IPAD, 128)
+        # Shared wide window for the rolled-loop kernels: one aligned load
+        # per leading-window step covers every tap's leading anchor.
+        self.tb0_min = min(tb[0] for tb in self.tap_base)
+        self.tb0_span = max(tb[0] for tb in self.tap_base) - self.tb0_min
 
         # Output-lane blocking.
         self.BLK = min(512, _round_up(self.P, 128))
@@ -390,17 +394,20 @@ def _fwd_kernel_loop(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     qs0 = p.qstride[0]
 
+    wide = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
+
     def body(dz, carry):
+        base = (t * p.BLK + p.RPAD - p.IPAD
+                + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
+        xw = x_ref[0, 0, :, pl.ds(base, wide)].astype(cd)
         for k in range(p.K):
             a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]   # (1, BLK)
-            base = (t * p.BLK + p.RPAD - p.IPAD
-                    + (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0)
-            xw = x_ref[0, 0, :, pl.ds(base, p.BLK + 2 * p.IPAD)].astype(cd)
+            off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
             for rows, _, inner in _inner_combos(p, k):
                 c = a0
                 for r in rows:
                     c = c * cf_ref[0, 0, k, r, :][None, :]
-                xs = xw[:, p.IPAD + inner:p.IPAD + inner + p.BLK]
+                xs = xw[:, off_k + inner:off_k + inner + p.BLK]
                 acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += c.astype(cd) * xs
         return carry
 
@@ -619,17 +626,20 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
     if not has_cols:
         colacc_ref[...] = jnp.zeros_like(colacc_ref)
 
+        widec = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
+
         def colbody(dz, carry):
+            base = (t * p.BLK + p.RPAD - p.IPAD
+                    + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
+            xw = x_ref[0, 0, :, pl.ds(base, widec)]
             for k in range(p.K):
                 a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]
-                base = (t * p.BLK + p.RPAD - p.IPAD
-                        + (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0)
-                xw = x_ref[0, 0, :, pl.ds(base, p.BLK + 2 * p.IPAD)]
+                off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
                 for rows, _, inner in _inner_combos(p, k):
                     c = a0
                     for r in rows:
                         c = c * cf_ref[0, 0, k, r, :][None, :]
-                    xs = xw[:, p.IPAD + inner:p.IPAD + inner + p.BLK]
+                    xs = xw[:, off_k + inner:off_k + inner + p.BLK]
                     colacc_ref[pl.ds(k * p.Cg, p.Cg), :] += c * xs
             return carry
 
@@ -661,13 +671,17 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
         for r in range(p.nd):
             gs_ref[0, 0, 0, k, r, :] = jnp.zeros((p.BLK,), jnp.float32)
 
+    wideb = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
+
     def body(dz, carry):
+        wbase = (t * p.BLK + p.RPAD - p.IPAD
+                 + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
+        xww = x_ref[0, 0, :, pl.ds(wbase, wideb)]
         for k in range(p.K):
             a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]
             da0 = cf_ref[0, 0, k, pl.ds(p.drow0[0] + dz, 1), :]
             lead = (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0
-            xw = x_ref[0, 0, :, pl.ds(t * p.BLK + p.RPAD - p.IPAD + lead,
-                                      p.BLK + 2 * p.IPAD)]
+            off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
             gcoln = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
             gwin_ref[...] = jnp.zeros_like(gwin_ref)
             for rows, drows, inner in _inner_combos(p, k):
@@ -676,7 +690,7 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
                     rr = cf_ref[0, 0, k, r, :][None, :]
                     arest = rr if arest is None else arest * rr
                 ab = a0 * arest
-                xs = xw[:, p.IPAD + inner:p.IPAD + inner + p.BLK]
+                xs = xww[:, off_k + inner:off_k + inner + p.BLK]
                 gwin_ref[:, p.IPAD + inner:p.IPAD + inner + p.BLK] += \
                     ab * gcoln
                 r0 = jnp.sum(gcoln * xs, axis=0, keepdims=True)
