@@ -13,6 +13,14 @@ with the reference.  `impl` selects the compute path:
 * "pallas" — fused Pallas TPU kernels (ops/pallas/); falls back to "xla"
              where unsupported.
 * "auto"   — pallas on TPU when eligible, else xla.
+
+Dtype policy (vs the reference's AT_DISPATCH_FLOATING_TYPES_AND_HALF,
+deformable_conv.cu:99): fp32 and bf16 run natively end to end.  fp16
+inputs are upcast to fp32 on the kernel paths — strictly more accurate
+than the reference's native-half arithmetic at fp32 cost; for half-class
+throughput with fp16 storage pass `precision="bfloat16"` (bf16 compute,
+fp32 accumulation).  fp64 requires `jax.enable_x64` and runs on the XLA
+path only.  Sampling coordinates always accumulate in >= fp32.
 """
 from __future__ import annotations
 
