@@ -529,7 +529,12 @@ def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
     (reference deformable_conv.cu:404-406).
     """
     p = plan
-    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    # Grid is (dg, B, NT): dg outermost so every visit to a gw block
+    # (indexed by dg alone) is CONSECUTIVE — Pallas only guarantees that
+    # revisited output blocks retain their contents across consecutive
+    # grid steps, and with batch outermost the accumulation broke once
+    # the pipeliner started double-buffering (caught by test_tpu_parity).
+    dgi, b, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
@@ -612,7 +617,8 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
         (gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
          colacc_ref) = rest
         cols_ref = None
-    b, dgi, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    # dg outermost: see _bwd_kernel on consecutive gw-block revisits.
+    dgi, b, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     qs0 = p.qstride[0]
 
     @pl.when(t == 0)
@@ -722,37 +728,40 @@ def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
     NR = cf.shape[3]
     NRS = 8
     spg = p.dg // groups                   # slabs per conv group
+    # Grid (dg, B, NT), dg outermost: the gw output block is indexed by
+    # dg alone and accumulated across (B, NT), which is only safe when
+    # all its visits are consecutive (see _bwd_kernel comment).
     in_specs = [
         pl.BlockSpec((1, 1, p.K, NR, p.BLK),
-                     lambda b, d, t: (b, d, 0, 0, t),
+                     lambda d, b, t: (b, d, 0, 0, t),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, p.Cg, p.QPAD),
-                     lambda b, d, t: (b, d, 0, 0),
+                     lambda d, b, t: (b, d, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Og, p.K * p.Cg),
-                     lambda b, d, t: (d, 0, 0),
+                     lambda d, b, t: (d, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Og, p.BLK),
-                     lambda b, d, t: (b, d // spg, 0, t),
+                     lambda d, b, t: (b, d // spg, 0, t),
                      memory_space=pltpu.VMEM),
     ]
     if cols is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
-                         lambda b, d, t: (b, d, t, 0, 0),
+                         lambda d, b, t: (b, d, t, 0, 0),
                          memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
-        grid=(p.B, p.dg, p.NT),
+        grid=(p.dg, p.B, p.NT),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, p.Cg, p.QPAD),
-                         lambda b, d, t: (b, d, 0, 0),
+                         lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, p.K, NRS, p.BLK),
-                         lambda b, d, t: (b, d, t, 0, 0, 0),
+                         lambda d, b, t: (b, d, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Og, p.K * p.Cg),
-                         lambda b, d, t: (d, 0, 0),
+                         lambda d, b, t: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=(
