@@ -44,8 +44,17 @@ try:  # JAX >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs)
+        # check_vma=False: the varying-across-mesh-axes checker cannot see
+        # through pallas_call outputs (jax 0.9 raises "vma ... must not be
+        # None"), and the fused TPU kernels run inside every shard.  Our
+        # per-axis replication/psum structure is fixed by the in/out specs
+        # and covered by the mesh parity tests.
+        try:
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax without check_vma
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
