@@ -812,29 +812,32 @@ def _plan_of(x, spec, offset_bound, lead):
                   lead=(R, int(lead[1])))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def shift_conv(x, offset, mask, weight, spec: DeformConvSpec,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def shift_conv(x, offset, mask, weight, origin, spec: DeformConvSpec,
                precision: str, offset_bound, lead=None):
     """Fused shift-blend deformable conv (no bias), differentiable in
     x/offset/mask/weight.  `mask` may be a zero-size placeholder.
 
-    `lead` = (R, S0_global, origin): leading-axis chunked mode — x is a
+    `lead` = (R, S0_global): leading-axis chunked mode — x is a
     halo-extended block (R extra leading rows each side) of a larger
-    volume whose leading output rows start at `origin`."""
-    out, _ = _shift_conv_impl(x, offset, mask, weight, spec, precision,
-                              offset_bound, lead, save_cols=False)
+    volume whose leading output rows start at `origin` (a traced f32
+    scalar, so shard_map can pass `axis_index`-derived origins; its
+    cotangent is zero).  With lead=None, `origin` is ignored."""
+    out, _ = _shift_conv_impl(x, offset, mask, weight, origin, spec,
+                              precision, offset_bound, lead,
+                              save_cols=False)
     return out
 
 
-def _shift_conv_impl(x, offset, mask, weight, spec, precision, offset_bound,
-                     lead, save_cols, for_bwd=False):
+def _shift_conv_impl(x, offset, mask, weight, origin, spec, precision,
+                     offset_bound, lead, save_cols, for_bwd=False):
     plan = _plan_of(x, spec, offset_bound, lead)
     O = weight.shape[0]
     Og = O // spec.groups
     m = mask if (mask is not None and mask.size) else None
-    origin = None if lead is None else jnp.float32(lead[2])
+    lead_origin = None if lead is None else jnp.asarray(origin, jnp.float32)
     cf = _coef_prep(offset, m, spec, plan, with_grads=for_bwd,
-                    lead_origin=origin)
+                    lead_origin=lead_origin)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
     outp, cols = _fwd_call(xr, cf, w2, plan, Og, precision,
@@ -843,26 +846,26 @@ def _shift_conv_impl(x, offset, mask, weight, spec, precision, offset_bound,
     return out, (cf, xr, w2, cols)
 
 
-def _shift_conv_fwd(x, offset, mask, weight, spec, precision, offset_bound,
-                    lead=None):
+def _shift_conv_fwd(x, offset, mask, weight, origin, spec, precision,
+                    offset_bound, lead=None):
     plan = _plan_of(x, spec, offset_bound, lead)
     out, (cf, xr, w2, cols) = _shift_conv_impl(
-        x, offset, mask, weight, spec, precision, offset_bound, lead,
-        save_cols=plan.save_cols, for_bwd=plan.save_cf)
-    return out, (x, offset, mask, weight,
+        x, offset, mask, weight, origin, spec, precision, offset_bound,
+        lead, save_cols=plan.save_cols, for_bwd=plan.save_cf)
+    return out, (x, offset, mask, weight, origin,
                  cf if plan.save_cf else None,
                  cols if plan.save_cols else None)
 
 
 def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
-    x, offset, mask, weight, cf, cols = res
+    x, offset, mask, weight, origin, cf, cols = res
     plan = _plan_of(x, spec, offset_bound, lead)
     p = plan
     m = mask if (mask is not None and mask.size) else None
-    origin = None if lead is None else jnp.float32(lead[2])
     if cf is None:       # too large to save: rebuild (XLA prep recompute)
         cf = _coef_prep(offset, m, spec, plan, with_grads=True,
-                        lead_origin=origin)
+                        lead_origin=None if lead is None
+                        else jnp.asarray(origin, jnp.float32))
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
     O = weight.shape[0]
@@ -887,7 +890,7 @@ def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
         gmask = jnp.zeros_like(mask) if mask is not None else None
     gweight = _w2_unprep(gw2, plan, O, spec.groups,
                          spec.kernel).astype(weight.dtype)
-    return gx, goff, gmask, gweight
+    return gx, goff, gmask, gweight, jnp.zeros_like(origin)
 
 
 shift_conv.defvjp(_shift_conv_fwd, _shift_conv_bwd)
@@ -995,9 +998,55 @@ def _lead_chunked_shift(x, offset, mask, weight, spec: DeformConvSpec,
         offb = jax.lax.slice_in_dim(offset, i * blk, (i + 1) * blk, axis=2)
         mb = (jax.lax.slice_in_dim(mask, i * blk, (i + 1) * blk, axis=2)
               if mask.size else mask)
-        outs.append(shift_conv(xb, offb, mb, weight, spec, precision,
-                               offset_bound, (R, OS0, i * blk)))
+        outs.append(shift_conv(xb, offb, mb, weight,
+                               jnp.float32(i * blk), spec, precision,
+                               offset_bound, (R, OS0)))
     return jnp.concatenate(outs, axis=2)
+
+
+def sharded_lead_reason(x_ext_shape, dtype, spec: DeformConvSpec,
+                        offset_bound, halo: int,
+                        S0_global: int) -> Optional[str]:
+    """None if the lead-mode kernel can run a halo-extended spatial shard.
+
+    `x_ext_shape` is the local block's shape (B, C, Hs + 2*halo, *inner);
+    the local output grid is (Hs, *inner) under the sharding layer's
+    stride-1 alignment contract.  Used by parallel/sharding.py to give
+    spatially-sharded narrow-slab configs the fast kernel (the general
+    kernel handles shards through its out_sizes override otherwise)."""
+    if offset_bound is None or (not isinstance(offset_bound, (tuple, list))
+                                and offset_bound <= 0):
+        return "no offset_bound (shiftblend needs bounded offsets)"
+    if spec.ndim not in (2, 3):
+        return "shiftblend supports 2D and 3D only"
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return f"unsupported dtype {dtype}"
+    if x_ext_shape[1] % spec.deformable_groups:
+        return "channels not divisible by deformable_groups"
+    S = tuple(x_ext_shape[2:])
+    OS = (S[0] - 2 * halo,) + S[1:]
+    plan = SBPlan(spec, x_ext_shape[0], x_ext_shape[1], S, OS, offset_bound,
+                  lead=(halo, S0_global))
+    return plan.ineligible_reason(spec)
+
+
+def deform_conv_shift_sharded(x_ext, offset, mask, weight, bias,
+                              spec: DeformConvSpec, precision: str,
+                              offset_bound, halo: int, S0_global: int,
+                              origin):
+    """Lead-mode entry for one halo-extended spatial shard (origin = the
+    shard's first global output row, traced)."""
+    in_dtype = x_ext.dtype
+    if x_ext.dtype == jnp.float16:
+        x_ext = x_ext.astype(jnp.float32)
+    mask_arr = mask if mask is not None else jnp.zeros((0,), x_ext.dtype)
+    out = shift_conv(x_ext, offset, mask_arr, weight,
+                     jnp.asarray(origin, jnp.float32), spec, precision,
+                     offset_bound, (halo, S0_global))
+    if bias is not None:
+        out = out + bias.astype(out.dtype).reshape(
+            (1, -1) + (1,) * spec.ndim)
+    return out.astype(in_dtype)
 
 
 def deform_conv_shift(x, offset, mask, weight, bias, spec: DeformConvSpec,
@@ -1018,8 +1067,8 @@ def deform_conv_shift(x, offset, mask, weight, bias, spec: DeformConvSpec,
         out = _lead_chunked_shift(x, offset, mask_arr, weight, spec,
                                   precision, offset_bound, *lead)
     else:
-        out = shift_conv(x, offset, mask_arr, weight, spec, precision,
-                         offset_bound)
+        out = shift_conv(x, offset, mask_arr, weight, jnp.float32(0),
+                         spec, precision, offset_bound)
     if bias is not None:
         out = out + bias.astype(out.dtype).reshape(
             (1, -1) + (1,) * spec.ndim)

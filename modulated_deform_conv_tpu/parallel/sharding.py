@@ -137,12 +137,38 @@ def _halo_exchange(x_local: jax.Array, halo: int, axis: int,
 
 def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
                 halo: int, spatial_axis_name: str, n_shards: int,
-                out_h_local: int, in_h_local: int):
+                out_h_local: int, in_h_local: int,
+                max_offset: float = 0.0, impl: str = "auto",
+                precision: str = "tensorfloat32"):
     """Per-shard computation inside shard_map (2D or 3D; shards dim H =
     first spatial dim)."""
     nd = spec.ndim
     x_ext = _halo_exchange(x_l, halo, axis=2, axis_name=spatial_axis_name,
                            n_shards=n_shards)
+
+    # Bounded-offset fast path: the shift-blend kernel's lead mode was
+    # built for exactly this halo-extended-block shape (global-coordinate
+    # gates, out-of-halo contributions zeroed — the same contract this
+    # layer documents for max_offset).  Dispatch mirrors
+    # ops/pallas/_prefer_shiftblend: narrow channel slabs only, on TPU
+    # (interpret mode off-TPU is test-only), unless forced.
+    if max_offset > 0 and impl in ("auto", "shiftblend"):
+        from ..ops.pallas import shiftblend as _sb
+        Cg = x_l.shape[1] // spec.deformable_groups
+        S0_global = out_h_local * n_shards
+        reason = _sb.sharded_lead_reason(x_ext.shape, x_ext.dtype, spec,
+                                         float(max_offset), halo, S0_global)
+        prefer = Cg <= 128 or impl == "shiftblend"
+        on_tpu = jax.default_backend() == "tpu"
+        if reason is None and prefer and (on_tpu or impl == "shiftblend"):
+            i_shard = jax.lax.axis_index(spatial_axis_name)
+            origin = (i_shard * out_h_local).astype(jnp.float32)
+            return _sb.deform_conv_shift_sharded(
+                x_ext, off_l, mask_l, weight, bias, spec,
+                precision, float(max_offset), halo, S0_global, origin)
+        if impl == "shiftblend":
+            raise NotImplementedError(
+                f"shiftblend shard path unavailable: {reason}")
 
     # Fold the global->local coordinate change into the h-offset channels.
     # Global sample row: h_g = oh_g*s - pad + i*dil + off_h with
@@ -172,7 +198,8 @@ def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
     # uses the fused Pallas kernel on TPU.
     local_os = (out_h_local,) + tuple(off_l.shape[2 + 1:])
     return ops_api._dispatch(x_ext, off_shifted, mask_l, weight, bias,
-                             local_spec, impl="auto", out_sizes=local_os)
+                             local_spec, impl="auto", precision=precision,
+                             out_sizes=local_os)
 
 
 def sharded_deform_conv(x: jax.Array, offset: jax.Array,
@@ -182,8 +209,16 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
                         spatial_axis: Optional[str] = "space",
                         max_offset: float = 0.0,
                         halo: Optional[int] = None,
-                        group_axis: Optional[str] = None) -> jax.Array:
+                        group_axis: Optional[str] = None,
+                        impl: str = "auto",
+                        precision: str = "tensorfloat32") -> jax.Array:
     """Deformable conv over a (batch, spatial, group) sharded mesh.
+
+    `impl`: per-shard compute path ("auto"/"xla"/"pallas"/"shiftblend").
+    With a positive `max_offset` the contract doubles as the
+    bounded-offset declaration, so "auto" shards use the fused
+    shift-blend kernel on TPU where eligible (spatial shards through its
+    halo-extended lead mode; batch/group shards directly).
 
     x (B,C,H,W[,L]) is sharded (batch_axis, [group_axis], spatial_axis,
     None[, None]); offset/mask shard the same way on their output grid;
@@ -295,9 +330,13 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
         b_l = rest[1] if len(rest) > 1 else None
         if n_s > 1:
             return _local_conv(x_l, off_l, mask_l, w_l, b_l, lspec, halo,
-                               spatial_axis, n_s, OH // n_s, H // n_s)
-        return ops_api._dispatch(x_l, off_l, mask_l, w_l, b_l, lspec,
-                                 impl="auto")
+                               spatial_axis, n_s, OH // n_s, H // n_s,
+                               max_offset=max_offset, impl=impl,
+                               precision=precision)
+        return ops_api._dispatch(
+            x_l, off_l, mask_l, w_l, b_l, lspec, impl=impl,
+            precision=precision,
+            offset_bound=(float(max_offset) if max_offset > 0 else None))
 
     args = (x, offset) + ((mask,) if mask is not None else ()) + (weight,) \
         + ((bias,) if bias is not None else ())
@@ -309,12 +348,13 @@ def sharded_deform_conv2d(x, offset, weight, bias=None, *, mesh, stride=1,
                           padding=0, dilation=1, groups=1,
                           deformable_groups=1, in_step=64, batch_axis="data",
                           spatial_axis="space", max_offset=0.0, halo=None,
-                          group_axis=None):
+                          group_axis=None, impl="auto",
+                          precision="tensorfloat32"):
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, False)
     return sharded_deform_conv(x, offset, None, weight, bias, spec, mesh,
                                batch_axis, spatial_axis, max_offset, halo,
-                               group_axis)
+                               group_axis, impl, precision)
 
 
 def sharded_modulated_deform_conv2d(x, offset, mask, weight, bias=None, *,
@@ -322,24 +362,26 @@ def sharded_modulated_deform_conv2d(x, offset, mask, weight, bias=None, *,
                                     groups=1, deformable_groups=1, in_step=64,
                                     batch_axis="data", spatial_axis="space",
                                     max_offset=0.0, halo=None,
-                                    group_axis=None):
+                                    group_axis=None, impl="auto",
+                          precision="tensorfloat32"):
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, True)
     return sharded_deform_conv(x, offset, mask, weight, bias, spec, mesh,
                                batch_axis, spatial_axis, max_offset, halo,
-                               group_axis)
+                               group_axis, impl, precision)
 
 
 def sharded_deform_conv3d(x, offset, weight, bias=None, *, mesh, stride=1,
                           padding=0, dilation=1, groups=1,
                           deformable_groups=1, in_step=64, batch_axis="data",
                           spatial_axis="space", max_offset=0.0, halo=None,
-                          group_axis=None):
+                          group_axis=None, impl="auto",
+                                    precision="tensorfloat32"):
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, False)
     return sharded_deform_conv(x, offset, None, weight, bias, spec, mesh,
                                batch_axis, spatial_axis, max_offset, halo,
-                               group_axis)
+                               group_axis, impl, precision)
 
 
 def sharded_modulated_deform_conv3d(x, offset, mask, weight, bias=None, *,
@@ -347,9 +389,10 @@ def sharded_modulated_deform_conv3d(x, offset, mask, weight, bias=None, *,
                                     groups=1, deformable_groups=1, in_step=64,
                                     batch_axis="data", spatial_axis="space",
                                     max_offset=0.0, halo=None,
-                                    group_axis=None):
+                                    group_axis=None, impl="auto",
+                                    precision="tensorfloat32"):
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step, True)
     return sharded_deform_conv(x, offset, mask, weight, bias, spec, mesh,
                                batch_axis, spatial_axis, max_offset, halo,
-                               group_axis)
+                               group_axis, impl, precision)

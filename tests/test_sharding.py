@@ -230,3 +230,52 @@ def test_spatial_misalignment_raises():
         sharded_modulated_deform_conv2d(x, off, mask, w, b, mesh=mesh,
                                         stride=1, padding=1, groups=2,
                                         deformable_groups=2)
+
+
+def test_spatial_shiftblend_lead_matches():
+    """The bounded-offset shift-blend kernel inside spatial shards (lead
+    mode: halo-extended blocks, global-coordinate gates, traced origin)
+    matches the unsharded op for outputs and all gradients."""
+    x, off, mask, w, b = _case(C=16, O=16, g=2, dg=2)  # Cg=8: sb-eligible
+    mesh = make_mesh((1, 4), ("data", "space"))
+    kw = dict(stride=1, padding=1, groups=2, deformable_groups=2)
+
+    def sharded(*a):
+        return sharded_modulated_deform_conv2d(
+            *a, mesh=mesh, max_offset=1.5, impl="shiftblend",
+            precision="float32", **kw)
+
+    def plain(*a):
+        return modulated_deform_conv2d(*a, precision="float32", **kw)
+
+    got = sharded(x, off, mask, w, b)
+    want = plain(x, off, mask, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(f, *a):
+        return jnp.sum(jnp.square(f(*a)))
+
+    gs = jax.grad(lambda *a: loss(sharded, *a), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    gp = jax.grad(lambda *a: loss(plain, *a), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    for name, a_, b_ in zip(["gx", "goff", "gmask", "gw", "gb"], gs, gp):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_batch_sharded_offset_bound_dispatch():
+    """With max_offset > 0 the batch-sharded path forwards the bound as
+    the kernel dispatch's offset_bound; forcing impl="shiftblend" must
+    produce the same results as the XLA path for in-bound offsets."""
+    x, off, mask, w, b = _case(C=16, O=16, g=2, dg=2)
+    mesh = make_mesh((4, 1), ("data", "space"))
+    kw = dict(stride=1, padding=1, groups=2, deformable_groups=2)
+    got = sharded_modulated_deform_conv2d(
+        x, off, mask, w, b, mesh=mesh, max_offset=1.5, impl="shiftblend",
+        precision="float32", **kw)
+    want = modulated_deform_conv2d(x, off, mask, w, b, precision="float32",
+                                   **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -46,7 +46,7 @@ def test_grads_match_oracle_2d():
     spec, x, off, m, w = _inputs(2, 1, 8, (8, 8), 3, 1, 1, True, 0.9)
 
     def loss_sb(x, off, m, w):
-        out = sb.shift_conv(x, off, m, w, spec, "float32", 1.0)
+        out = sb.shift_conv(x, off, m, w, jnp.float32(0), spec, "float32", 1.0)
         return jnp.sum(out * jnp.cos(out))
 
     def loss_ref(x, off, m, w):
@@ -67,7 +67,8 @@ def test_grads_match_oracle_3d():
     spec, x, off, m, w = _inputs(3, 1, 8, (4, 5, 6), 3, 1, 1, False, 0.45)
 
     def loss_sb(x, off, w):
-        out = sb.shift_conv(x, off, jnp.zeros((0,), x.dtype), w, spec,
+        out = sb.shift_conv(x, off, jnp.zeros((0,), x.dtype), w,
+                            jnp.float32(0), spec,
                             "float32", 0.5)
         return jnp.sum(out * out)
 
@@ -135,7 +136,7 @@ def test_loop_path_3d_matches():
     assert not plan.unrolled          # 729 pairs -> loop path
 
     def loss_sb(x, off, m, w):
-        out = sb.shift_conv(x, off, m, w, spec, "float32", 0.5)
+        out = sb.shift_conv(x, off, m, w, jnp.float32(0), spec, "float32", 0.5)
         return jnp.sum(out * jnp.cos(out))
 
     def loss_ref(x, off, m, w):
@@ -184,7 +185,7 @@ def test_no_save_cols_recompute_matches(monkeypatch):
     spec, x, off, m, w = _inputs(3, 1, 8, (4, 8, 16), 3, 1, 1, True, 0.45)
 
     def loss_sb(x, off, m, w):
-        out = sb.shift_conv(x, off, m, w, spec, "float32", 0.5)
+        out = sb.shift_conv(x, off, m, w, jnp.float32(0), spec, "float32", 0.5)
         return jnp.sum(jnp.cos(out))
 
     def loss_ref(x, off, m, w):
