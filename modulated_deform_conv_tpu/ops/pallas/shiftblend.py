@@ -52,6 +52,12 @@ _VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
 
+# Forward window-sweep variant for the unrolled kernel: "rmw" accumulates
+# into a VMEM scratch per (tap, shift) pair; "regacc" keeps channel-blocked
+# per-tap accumulators in registers across the delta loop (see
+# _fwd_kernel_regacc).  Module-level so benchmarks can A/B them.
+FWD_SWEEP = "rmw"
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -102,6 +108,9 @@ class SBPlan:
         self.qstride = tuple(st)
 
         # Tap anchor t_kd = i_d * dil_d - pad_d per tap.
+        self.kernel = tuple(spec.kernel)
+        self.dilation = tuple(spec.dilation)
+        self.padding = tuple(spec.padding)
         taps = np.stack(np.meshgrid(*[np.arange(k) for k in spec.kernel],
                                     indexing="ij"), 0).reshape(nd, self.K)
         self.tap_base = tuple(
@@ -147,25 +156,32 @@ class SBPlan:
         self.loopable = nd >= 3 and self.qstride[0] % 128 == 0
         self.unrolled = self.n_pairs <= 640 or not self.loopable
 
-        # coef rows: per axis W_d weight rows, then the mask row, then (for
-        # the backward) per axis W_d derivative rows; padded to a sublane
-        # multiple.  The forward reads only the first NRF rows.
+        # Compact coefficient rows (cf layout (B, dg, NRC, K, PPAD)): the
+        # per-axis integer corner anchor `rel` and fraction `fr`, the
+        # open-interval tap gate, and the mask.  The per-(axis, dy) weight
+        # rows the sweep consumes are *expanded in-kernel* once per grid
+        # cell (see _expand_rows) — ~100x less work than the sweep itself,
+        # and it cuts the coefficient HBM/DMA traffic 2-4x vs shipping
+        # every expanded row (and the derivative rows come free in the
+        # backward).  `row0` indexes the expanded scratch: axis d's window
+        # rows occupy [row0[d], row0[d] + W_d).
+        self.crel = tuple(2 * d for d in range(nd))
+        self.cfr = tuple(2 * d + 1 for d in range(nd))
+        self.cgate = 2 * nd
+        self.cmask = 2 * nd + 1
+        self.NRC = _round_up(2 * nd + 2, 8)
         cum = np.cumsum([0] + list(self.W))
         self.row0 = tuple(int(cum[d]) for d in range(nd))
-        self.mask_row = int(cum[nd])
-        self.NRF = _round_up(self.mask_row + 1, 8)
-        self.drow0 = tuple(self.mask_row + 1 + int(cum[d])
-                           for d in range(nd))
-        self.NRB = _round_up(self.mask_row + 1 + int(cum[nd]), 8)
+        self.NW = int(cum[nd])
 
-        # Residual policies: saving the pre-mask columns (and the extended
+        # Residual policies: saving the pre-mask columns (and the compact
         # coefficient rows) trades HBM for backward recompute — the same
         # tradeoff the reference makes by recomputing columns in its
         # gradient kernel (deformable_conv.cu:285).  For large volumes the
         # residuals don't fit; the backward then recomputes them (columns
         # in-kernel — loop path only — and coefficients in XLA prep).
         cols_bytes = self.B * self.dg * self.PPAD * self.K * self.Cg * 2
-        cf_bytes = self.B * self.dg * self.K * self.NRB * self.PPAD * 4
+        cf_bytes = self.B * self.dg * self.NRC * self.K * self.PPAD * 4
         self.save_cols = cols_bytes <= _RESIDUAL_BUDGET
         self.save_cf = cf_bytes <= _RESIDUAL_BUDGET
         if not self.save_cols and self.loopable:
@@ -200,28 +216,31 @@ class SBPlan:
 
 
 def _coef_prep(offset, mask, spec: DeformConvSpec, plan: SBPlan,
-               with_grads: bool = False, lead_origin=None):
-    """Build coefficient rows (B, dg, K, NRF|NRB, PPAD) f32.
+               lead_origin=None):
+    """Build compact coefficient rows cf (B, dg, NRC, K, PPAD) f32 and the
+    output-coordinate rows coords (8, PPAD) f32.
 
-    Axis-0 rows carry the whole-tap open-interval gate
-    (reference deformable_conv.cu:78); each axis's rows carry that axis's
-    corner weight and in-image factor (deformable_conv.cu:17-28).  The mask
-    lives in its own row so grad_mask = sum_c gcol * col_nomask keeps the
-    reference semantics at mask == 0 (mdeformable_conv.cu:315).  With
-    with_grads, per-axis d(weight)/d(position) rows are appended (the
-    analytic bilinear/trilinear offset-gradient forms,
-    deformable_conv.cu:281-283, deformable_conv3d.cu:380-385)."""
+    Per axis d: row `crel[d]` holds the integer corner anchor
+    floor(pos) - base and row `cfr[d]` the fraction pos - floor(pos); row
+    `cgate` the whole-tap open-interval gate (reference
+    deformable_conv.cu:78); row `cmask` the mask, kept separate so
+    grad_mask = sum_c gcol * col_nomask keeps the reference semantics at
+    mask == 0 (mdeformable_conv.cu:315).  The per-(axis, dy) corner-weight
+    rows (deformable_conv.cu:17-28) and their position derivatives
+    (deformable_conv.cu:281-283, deformable_conv3d.cu:380-385) are
+    expanded from these in-kernel (_expand_rows).  coords row d is the
+    output coordinate along axis d (plus the global row origin in
+    lead-chunked mode) for the in-kernel in-image corner checks."""
     p = plan
     nd, B, dg, K = p.nd, p.B, p.dg, p.K
-    NR = p.NRB if with_grads else p.NRF
 
     off = offset.reshape((B, dg, K, nd) + p.OS).reshape(
         B, dg, K, nd, p.P).astype(jnp.float32)
 
     flat = jax.lax.iota(jnp.int32, p.P)
-    rows = [None] * NR
+    rows = [None] * p.NRC
+    coords = jnp.zeros((8, p.P), jnp.float32)
     gate = None
-    pos_all, ocoord_all = [], []
     taps_np = np.asarray([[tb[d] for tb in p.tap_base] for d in range(nd)],
                          np.float32)                       # (nd, K)
     for d in range(nd):
@@ -229,53 +248,72 @@ def _coef_prep(offset, mask, spec: DeformConvSpec, plan: SBPlan,
         if d == 0 and lead_origin is not None:
             # Lead-chunked mode: gates/in-image checks see global rows.
             ocoord = ocoord + lead_origin.astype(jnp.float32)
+        coords = coords.at[d].set(ocoord)
         base = ocoord[None, :] + jnp.asarray(taps_np[d])[:, None]  # (K, P)
         pos = base[None, None] + off[:, :, :, d]           # (B, dg, K, P)
         lim = float(p.S0_gate if d == 0 else p.S[d])
         g = (pos > -1.0) & (pos < lim)
         gate = g if gate is None else (gate & g)
-        pos_all.append(pos)
-        ocoord_all.append(ocoord)
-
-    gatef = gate.astype(jnp.float32)
-    for d in range(nd):
-        pos = pos_all[d]
         fl = jnp.floor(pos)
-        fr = pos - fl
-        base = (ocoord_all[d][None, :]
-                + jnp.asarray(taps_np[d])[:, None])        # (K, P)
-        rel = fl - base[None, None]                        # (B, dg, K, P)
-        corner0 = base[None, None] + float(p.lo[d])        # row dy=0 corner
+        rows[p.crel[d]] = fl - base[None, None]
+        rows[p.cfr[d]] = pos - fl
+
+    rows[p.cgate] = gate.astype(jnp.float32)
+    if mask is not None:
+        rows[p.cmask] = mask.reshape(B, dg, K, p.P).astype(jnp.float32)
+    else:
+        rows[p.cmask] = jnp.ones((B, dg, K, p.P), jnp.float32)
+    zero = jnp.zeros((B, dg, K, p.P), jnp.float32)
+    rows = [r if r is not None else zero for r in rows]
+    cf = jnp.stack(rows, axis=2)                           # (B, dg, NRC, K, P)
+    cf = jnp.pad(cf, ((0, 0),) * 4 + ((0, p.PPAD - p.P),))
+    coords = jnp.pad(coords, ((0, 0), (0, p.PPAD - p.P)))
+    return cf, coords
+
+
+def _tapvec(plan: SBPlan, d: int):
+    """(K, 1) f32 vector of tap anchors along axis d, built from iota
+    (Pallas kernels may not capture host constants)."""
+    inner = 1
+    for e in range(d + 1, plan.nd):
+        inner *= plan.kernel[e]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (plan.K, 1), 0)
+    idx = (kidx // inner) % plan.kernel[d]
+    return (idx * plan.dilation[d] - plan.padding[d]).astype(jnp.float32)
+
+
+def _expand_rows(cf_ref, co_ref, w_ref, dw_ref, plan: SBPlan):
+    """Expand the compact rows into per-(axis, dy) corner-weight rows for
+    all K taps at once: w_ref[row0[d] + dy] = (K, BLK) weight row (and
+    dw_ref the d(weight)/d(pos) rows when given).  Runs once per grid
+    cell; cost ~NW * K * BLK VPU ops, ~1% of the window sweep."""
+    p = plan
+    gate = cf_ref[0, 0, p.cgate]                           # (K, BLK)
+    for d in range(p.nd):
+        rel = cf_ref[0, 0, p.crel[d]]
+        fr = cf_ref[0, 0, p.cfr[d]]
+        oc = co_ref[pl.ds(d, 1), :]                        # (1, BLK)
+        lim = float(p.S0_gate if d == 0 else p.S[d])
+        tapv = _tapvec(p, d)                               # (K, 1)
         for dy in range(p.W[d]):
             dyf = float(p.lo[d] + dy)
             sel_lo = rel == dyf                  # this row is the low corner
             sel_hi = rel == dyf - 1.0            # this row is the high corner
+            crn = oc + (tapv + dyf)              # corner coordinate (K, BLK)
+            inimg = (crn >= 0.0) & (crn < lim)
             w = (jnp.where(sel_lo, 1.0 - fr, 0.0)
                  + jnp.where(sel_hi, fr, 0.0))
-            crn = corner0 + float(dy)
-            inimg = (crn >= 0.0) & (crn < float(p.S0_gate if d == 0
-                                                else p.S[d]))
             w = jnp.where(inimg, w, 0.0)
             if d == 0:
-                w = w * gatef
-            rows[p.row0[d] + dy] = w
-            if with_grads:
-                # d(weight)/d(pos_d): -1 on the low corner, +1 on the high.
+                w = w * gate
+            w_ref[p.row0[d] + dy] = w
+            if dw_ref is not None:
                 dw = (jnp.where(sel_lo, -1.0, 0.0)
                       + jnp.where(sel_hi, 1.0, 0.0))
                 dw = jnp.where(inimg, dw, 0.0)
                 if d == 0:
-                    dw = dw * gatef
-                rows[p.drow0[d] + dy] = dw
-
-    if mask is not None:
-        rows[p.mask_row] = mask.reshape(B, dg, K, p.P).astype(jnp.float32)
-    else:
-        rows[p.mask_row] = jnp.ones((B, dg, K, p.P), jnp.float32)
-    zero = jnp.zeros((B, dg, K, p.P), jnp.float32)
-    rows = [r if r is not None else zero for r in rows]
-    cf = jnp.stack(rows, axis=3)                           # (B, dg, K, NR, P)
-    return jnp.pad(cf, ((0, 0),) * 4 + ((0, p.PPAD - p.P),))
+                    dw = dw * gate
+                dw_ref[p.row0[d] + dy] = dw
 
 
 def _x_prep(x, plan: SBPlan):
@@ -325,24 +363,25 @@ def _cdtype(precision: str):
     return jnp.bfloat16 if precision == "bfloat16" else jnp.float32
 
 
-def _fwd_kernel(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan, prec,
-                cd, save_cols: bool):
+def _fwd_kernel(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
+                prec, cd, save_cols: bool):
     p = plan
     if save_cols:
-        cols_ref, acc_ref, acc2_ref = rest
+        cols_ref, acc_ref, acc2_ref, wr_ref = rest
     else:
         cols_ref = None
-        acc_ref, acc2_ref = rest
+        acc_ref, acc2_ref, wr_ref = rest
     t = pl.program_id(2)
+    _expand_rows(cf_ref, co_ref, wr_ref, None, p)
     xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for delta, pairs in p.deltas.items():
         xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
         for k, dyvec in pairs:
-            c = cf_ref[0, 0, k, p.row0[0] + dyvec[0], :]
+            c = wr_ref[p.row0[0] + dyvec[0], k, :]
             for d in range(1, p.nd):
-                c = c * cf_ref[0, 0, k, p.row0[d] + dyvec[d], :]
+                c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
             acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += c[None, :].astype(cd) * xs
 
     # Relayout (Cg, K*BLK) -> (K*Cg, BLK) by slice copies (in-kernel
@@ -355,7 +394,58 @@ def _fwd_kernel(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan, prec,
         cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
     if p.modulated:
         for k in range(p.K):
-            m = cf_ref[0, 0, k, p.mask_row, :].astype(acc2_ref.dtype)
+            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
+            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
+    w2 = w2_ref[0].astype(cd)
+    out_ref[0, 0, 0] = jax.lax.dot_general(
+        w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel_regacc(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
+                       plan: SBPlan, prec, cd, save_cols: bool):
+    """Forward sweep variant: channel-blocked with per-tap accumulators
+    kept as SSA values (register-resident) across the whole delta loop,
+    instead of read-modify-writes on a VMEM accumulator per (tap, shift)
+    pair.  The 2*|pairs| VMEM accumulator touches per channel row become
+    K stores; the pair coefficient rows are built once per grid cell."""
+    p = plan
+    if save_cols:
+        cols_ref, acc2_ref, wr_ref, cp_ref = rest
+    else:
+        cols_ref = None
+        acc2_ref, wr_ref, cp_ref = rest
+    t = pl.program_id(2)
+    _expand_rows(cf_ref, co_ref, wr_ref, None, p)
+
+    # Pair coefficient rows, one per (tap, window) pair, delta-major.
+    flat_pairs = []
+    for delta, pairs in p.deltas.items():
+        for k, dyvec in pairs:
+            flat_pairs.append((len(flat_pairs), delta, k, dyvec))
+    for idx, delta, k, dyvec in flat_pairs:
+        c = wr_ref[p.row0[0] + dyvec[0], k, :]
+        for d in range(1, p.nd):
+            c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
+        cp_ref[idx] = c
+
+    CB = 8
+    for cb in range(p.Cg // CB):
+        xw = x_ref[0, 0, pl.ds(cb * CB, CB),
+                   pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
+        accs = [jnp.zeros((CB, p.BLK), cd) for _ in range(p.K)]
+        for idx, delta, k, dyvec in flat_pairs:
+            xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+            c = cp_ref[idx, :]
+            accs[k] = accs[k] + c[None, :].astype(cd) * xs
+        for k in range(p.K):
+            acc2_ref[pl.ds(k * p.Cg + cb * CB, CB), :] = accs[k]
+
+    if save_cols:
+        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
+    if p.modulated:
+        for k in range(p.K):
+            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
             acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
     w2 = w2_ref[0].astype(cd)
     out_ref[0, 0, 0] = jax.lax.dot_general(
@@ -365,32 +455,33 @@ def _fwd_kernel(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan, prec,
 
 def _inner_combos(plan: SBPlan, k: int):
     """Static (rows, inner_offset) enumeration over window axes 1..nd-1
-    for tap k: rows = per-axis coefficient row indices, inner_offset the
-    flat shift contribution (|inner| <= IPAD)."""
+    for tap k: rows = per-axis expanded-row indices (the same indices
+    address the derivative-row scratch), inner_offset the flat shift
+    contribution (|inner| <= IPAD)."""
     p = plan
     out = []
     for dyvec in np.ndindex(*p.W[1:]):
         rows = tuple(p.row0[1 + d] + dyvec[d] for d in range(p.nd - 1))
-        drows = tuple(p.drow0[1 + d] + dyvec[d] for d in range(p.nd - 1))
         inner = sum((p.tap_base[k][1 + d] + p.lo[1 + d] + dyvec[d])
                     * p.qstride[1 + d] for d in range(p.nd - 1))
-        out.append((rows, drows, inner))
+        out.append((rows, inner))
     return out
 
 
-def _fwd_kernel_loop(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
-                     prec, cd, save_cols: bool):
+def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
+                     plan: SBPlan, prec, cd, save_cols: bool):
     """Rolled-loop forward for large windows (3D): identical math to
     _fwd_kernel, with the leading window axis in a fori_loop.  The x
     window load is 128-aligned (qstride[0] % 128 == 0 guaranteed by the
     plan); inner-axis shifts are static slices of the loaded window."""
     p = plan
     if save_cols:
-        cols_ref, acc_ref, acc2_ref = rest
+        cols_ref, acc_ref, acc2_ref, wr_ref = rest
     else:
         cols_ref = None
-        acc_ref, acc2_ref = rest
+        acc_ref, acc2_ref, wr_ref = rest
     t = pl.program_id(2)
+    _expand_rows(cf_ref, co_ref, wr_ref, None, p)
     acc_ref[...] = jnp.zeros_like(acc_ref)
     qs0 = p.qstride[0]
 
@@ -401,12 +492,12 @@ def _fwd_kernel_loop(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
                 + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
         xw = x_ref[0, 0, :, pl.ds(base, wide)].astype(cd)
         for k in range(p.K):
-            a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]   # (1, BLK)
+            a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]         # (1, BLK)
             off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
-            for rows, _, inner in _inner_combos(p, k):
+            for rows, inner in _inner_combos(p, k):
                 c = a0
                 for r in rows:
-                    c = c * cf_ref[0, 0, k, r, :][None, :]
+                    c = c * wr_ref[r, k, :][None, :]
                 xs = xw[:, off_k + inner:off_k + inner + p.BLK]
                 acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += c.astype(cd) * xs
         return carry
@@ -420,7 +511,7 @@ def _fwd_kernel_loop(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
         cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
     if p.modulated:
         for k in range(p.K):
-            m = cf_ref[0, 0, k, p.mask_row, :].astype(acc2_ref.dtype)
+            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
             acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
     w2 = w2_ref[0].astype(cd)
     out_ref[0, 0, 0] = jax.lax.dot_general(
@@ -428,13 +519,12 @@ def _fwd_kernel_loop(cf_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
         precision=prec, preferred_element_type=jnp.float32)
 
 
-def _fwd_call(xr, cf, w2, plan: SBPlan, Og: int, precision: str,
+def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
               save_cols: bool = False):
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
-    NR = cf.shape[3]
     out_shapes = [jax.ShapeDtypeStruct((p.B, p.dg, p.NT, Og, p.BLK),
                                        jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1, 1, Og, p.BLK),
@@ -452,8 +542,10 @@ def _fwd_call(xr, cf, w2, plan: SBPlan, Og: int, precision: str,
     grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NT),
         in_specs=[
-            pl.BlockSpec((1, 1, p.K, NR, p.BLK),
+            pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
                          lambda b, d, t: (b, d, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p.BLK), lambda b, d, t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                          lambda b, d, t: (b, d, 0, 0),
@@ -463,14 +555,22 @@ def _fwd_call(xr, cf, w2, plan: SBPlan, Og: int, precision: str,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((p.Cg, p.K * p.BLK), jnp.float32 if cd == jnp.float32
-                       else jnp.bfloat16),
-            pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32 if cd == jnp.float32
-                       else jnp.bfloat16),
-        ],
+        scratch_shapes=(
+            ([] if (p.unrolled and FWD_SWEEP == "regacc") else
+             [pltpu.VMEM((p.Cg, p.K * p.BLK),
+                         jnp.float32 if cd == jnp.float32
+                         else jnp.bfloat16)])
+            + [pltpu.VMEM((p.K * p.Cg, p.BLK),
+                          jnp.float32 if cd == jnp.float32
+                          else jnp.bfloat16),
+               pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32)]
+            + ([pltpu.VMEM((_round_up(p.n_pairs, 8), p.BLK), jnp.float32)]
+               if (p.unrolled and FWD_SWEEP == "regacc") else [])),
     )
-    kern = _fwd_kernel if p.unrolled else _fwd_kernel_loop
+    if p.unrolled:
+        kern = _fwd_kernel_regacc if FWD_SWEEP == "regacc" else _fwd_kernel
+    else:
+        kern = _fwd_kernel_loop
     out = pl.pallas_call(
         functools.partial(kern, plan=p, prec=prec, cd=cd,
                           save_cols=save_cols),
@@ -478,7 +578,7 @@ def _fwd_call(xr, cf, w2, plan: SBPlan, Og: int, precision: str,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(cf, xr, w2)
+    )(cf, co, xr, w2)
     return (out[0], out[1]) if save_cols else (out[0], None)
 
 
@@ -504,10 +604,10 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
     O = weight.shape[0]
     Og = O // spec.groups
     m = mask if (mask is not None and getattr(mask, "size", 1)) else None
-    cf = _coef_prep(offset, m, spec, plan)
+    cf, co = _coef_prep(offset, m, spec, plan)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
-    outp, _ = _fwd_call(xr, cf, w2, plan, Og, precision)
+    outp, _ = _fwd_call(xr, cf, co, w2, plan, Og, precision)
     return _finish_out(outp, plan, O, spec.groups, bias, x.dtype)
 
 
@@ -516,9 +616,10 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
+def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
                 gx_ref, gs_ref, gw_ref,
-                gcols_ref, gxw_ref, *, plan: SBPlan, prec, cd):
+                gcols_ref, gxw_ref, wr_ref, dwr_ref, *, plan: SBPlan,
+                prec, cd):
     """One output block of the backward.
 
     Computes, per (batch, dg-slab, block): grad_x scattered into the
@@ -544,6 +645,7 @@ def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
     def _():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
+    _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
     gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
 
@@ -562,7 +664,7 @@ def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
         gs_ref[0, 0, 0, k, p.nd, :] = jnp.sum(gcol * colnm, axis=0,
                                               keepdims=True)[0]
         if p.modulated:
-            m = cf_ref[0, 0, k, p.mask_row, :]
+            m = cf_ref[0, 0, p.cmask, k, :]
             col = colnm * m[None, :]
             gcoln = gcol * m[None, :]
             gcols_ref[sl, :] = gcoln          # masked gcol for gx / s-grads
@@ -580,7 +682,7 @@ def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
         xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
         tmp = None
         for k, dyvec in pairs:
-            arows = [cf_ref[0, 0, k, p.row0[d] + dyvec[d], :]
+            arows = [wr_ref[p.row0[d] + dyvec[d], k, :]
                      for d in range(p.nd)]
             ab = arows[0]
             for d in range(1, p.nd):
@@ -592,7 +694,7 @@ def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
             # (tap, shift); all offset grads reduce against it.
             r0 = jnp.sum(gcoln * xs, axis=0, keepdims=True)[0]
             for d in range(p.nd):
-                dab = cf_ref[0, 0, k, p.drow0[d] + dyvec[d], :]
+                dab = dwr_ref[p.row0[d] + dyvec[d], k, :]
                 for e in range(p.nd):
                     if e != d:
                         dab = dab * arows[e]
@@ -601,7 +703,7 @@ def _bwd_kernel(cf_ref, x_ref, w2_ref, gout_ref, cols_ref,
     gx_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)] += gxw_ref[...]
 
 
-def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
+def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
                      plan: SBPlan, prec, cd, has_cols: bool):
     """Rolled-loop backward (large windows / 3D): same math as
     _bwd_kernel with the leading window axis in a fori_loop.  When the
@@ -611,11 +713,12 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
     static slices (reads) or static-slice RMWs on the gwin scratch."""
     p = plan
     if has_cols:
-        cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref = rest
+        (cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
+         wr_ref, dwr_ref) = rest
         colacc_ref = None
     else:
         (gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
-         colacc_ref) = rest
+         wr_ref, dwr_ref, colacc_ref) = rest
         cols_ref = None
     # dg outermost: see _bwd_kernel on consecutive gw-block revisits.
     dgi, b, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -629,6 +732,7 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
     def _():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
+    _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     if not has_cols:
         colacc_ref[...] = jnp.zeros_like(colacc_ref)
 
@@ -639,12 +743,12 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
                     + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
             xw = x_ref[0, 0, :, pl.ds(base, widec)]
             for k in range(p.K):
-                a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]
+                a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
                 off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
-                for rows, _, inner in _inner_combos(p, k):
+                for rows, inner in _inner_combos(p, k):
                     c = a0
                     for r in rows:
-                        c = c * cf_ref[0, 0, k, r, :][None, :]
+                        c = c * wr_ref[r, k, :][None, :]
                     xs = xw[:, off_k + inner:off_k + inner + p.BLK]
                     colacc_ref[pl.ds(k * p.Cg, p.Cg), :] += c * xs
             return carry
@@ -666,7 +770,7 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
         gs_ref[0, 0, 0, k, p.nd, :] = jnp.sum(gcol * colnm, axis=0,
                                               keepdims=True)[0]
         if p.modulated:
-            m = cf_ref[0, 0, k, p.mask_row, :]
+            m = cf_ref[0, 0, p.cmask, k, :]
             col = colnm * m[None, :]
             gcols_ref[sl, :] = gcol * m[None, :]
         else:
@@ -684,16 +788,16 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
                  + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
         xww = x_ref[0, 0, :, pl.ds(wbase, wideb)]
         for k in range(p.K):
-            a0 = cf_ref[0, 0, k, pl.ds(p.row0[0] + dz, 1), :]
-            da0 = cf_ref[0, 0, k, pl.ds(p.drow0[0] + dz, 1), :]
+            a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
+            da0 = dwr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
             lead = (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0
             off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
             gcoln = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
             gwin_ref[...] = jnp.zeros_like(gwin_ref)
-            for rows, drows, inner in _inner_combos(p, k):
+            for rows, inner in _inner_combos(p, k):
                 arest = None
                 for r in rows:
-                    rr = cf_ref[0, 0, k, r, :][None, :]
+                    rr = wr_ref[r, k, :][None, :]
                     arest = rr if arest is None else arest * rr
                 ab = a0 * arest
                 xs = xww[:, off_k + inner:off_k + inner + p.BLK]
@@ -705,8 +809,8 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
                 # inner-axis offset grads: substitute the derivative row
                 for d in range(p.nd - 1):
                     q = a0
-                    for e, (r, dr) in enumerate(zip(rows, drows)):
-                        rr = cf_ref[0, 0, k, dr if e == d else r, :][None, :]
+                    for e, r in enumerate(rows):
+                        rr = (dwr_ref if e == d else wr_ref)[r, k, :][None, :]
                         q = q * rr
                     gs_ref[0, 0, 0, k, 1 + d, :] += (q * r0)[0]
             # Scatter the tap's window straight into the resident grad_x
@@ -719,21 +823,22 @@ def _bwd_kernel_loop(cf_ref, x_ref, w2_ref, gout_ref, *rest,
     jax.lax.fori_loop(0, p.W[0], body, 0)
 
 
-def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
+def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
               precision: str, groups: int):
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
-    NR = cf.shape[3]
     NRS = 8
     spg = p.dg // groups                   # slabs per conv group
     # Grid (dg, B, NT), dg outermost: the gw output block is indexed by
     # dg alone and accumulated across (B, NT), which is only safe when
     # all its visits are consecutive (see _bwd_kernel comment).
     in_specs = [
-        pl.BlockSpec((1, 1, p.K, NR, p.BLK),
+        pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
                      lambda d, b, t: (b, d, 0, 0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, p.BLK), lambda d, b, t: (0, t),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                      lambda d, b, t: (b, d, 0, 0),
@@ -769,6 +874,8 @@ def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
             + ([pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32)]
                if p.unrolled else
                [pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32)])
+            + [pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+               pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32)]
             + ([] if cols is not None else
                [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)])),
     )
@@ -779,7 +886,7 @@ def _bwd_call(xr, cf, w2, goutp, cols, plan: SBPlan, Og: int,
     else:
         kern = functools.partial(_bwd_kernel_loop, plan=p, prec=prec,
                                  cd=cd, has_cols=has_cols)
-    args = (cf, xr, w2, goutp) + ((cols,) if has_cols else ())
+    args = (cf, co, xr, w2, goutp) + ((cols,) if has_cols else ())
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -830,49 +937,49 @@ def shift_conv(x, offset, mask, weight, origin, spec: DeformConvSpec,
 
 
 def _shift_conv_impl(x, offset, mask, weight, origin, spec, precision,
-                     offset_bound, lead, save_cols, for_bwd=False):
+                     offset_bound, lead, save_cols):
     plan = _plan_of(x, spec, offset_bound, lead)
     O = weight.shape[0]
     Og = O // spec.groups
     m = mask if (mask is not None and mask.size) else None
     lead_origin = None if lead is None else jnp.asarray(origin, jnp.float32)
-    cf = _coef_prep(offset, m, spec, plan, with_grads=for_bwd,
-                    lead_origin=lead_origin)
+    cf, co = _coef_prep(offset, m, spec, plan, lead_origin=lead_origin)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
-    outp, cols = _fwd_call(xr, cf, w2, plan, Og, precision,
+    outp, cols = _fwd_call(xr, cf, co, w2, plan, Og, precision,
                            save_cols=save_cols)
     out = _finish_out(outp, plan, O, spec.groups, None, x.dtype)
-    return out, (cf, xr, w2, cols)
+    return out, (cf, co, xr, w2, cols)
 
 
 def _shift_conv_fwd(x, offset, mask, weight, origin, spec, precision,
                     offset_bound, lead=None):
     plan = _plan_of(x, spec, offset_bound, lead)
-    out, (cf, xr, w2, cols) = _shift_conv_impl(
+    out, (cf, co, xr, w2, cols) = _shift_conv_impl(
         x, offset, mask, weight, origin, spec, precision, offset_bound,
-        lead, save_cols=plan.save_cols, for_bwd=plan.save_cf)
+        lead, save_cols=plan.save_cols)
     return out, (x, offset, mask, weight, origin,
-                 cf if plan.save_cf else None,
+                 (cf, co) if plan.save_cf else None,
                  cols if plan.save_cols else None)
 
 
 def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
-    x, offset, mask, weight, origin, cf, cols = res
+    x, offset, mask, weight, origin, cfco, cols = res
     plan = _plan_of(x, spec, offset_bound, lead)
     p = plan
     m = mask if (mask is not None and mask.size) else None
-    if cf is None:       # too large to save: rebuild (XLA prep recompute)
-        cf = _coef_prep(offset, m, spec, plan, with_grads=True,
-                        lead_origin=None if lead is None
-                        else jnp.asarray(origin, jnp.float32))
+    if cfco is None:     # too large to save: rebuild (XLA prep recompute)
+        cfco = _coef_prep(offset, m, spec, plan,
+                          lead_origin=None if lead is None
+                          else jnp.asarray(origin, jnp.float32))
+    cf, co = cfco
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
     O = weight.shape[0]
     Og = O // spec.groups
     goutp = _gout_prep(g, plan, O, spec.groups)
-    gxp, gs, gw2 = _bwd_call(xr, cf, w2, goutp, cols, plan, Og, precision,
-                             spec.groups)
+    gxp, gs, gw2 = _bwd_call(xr, cf, co, w2, goutp, cols, plan, Og,
+                             precision, spec.groups)
 
     flat = math.prod(p.S)
     left = p.RPAD - p.lead_R * p.qstride[0]
