@@ -52,11 +52,13 @@ _VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
 
-# Forward window-sweep variant for the unrolled kernel: "rmw" accumulates
-# into a VMEM scratch per (tap, shift) pair; "regacc" keeps channel-blocked
-# per-tap accumulators in registers across the delta loop (see
+# Forward window-sweep variant for the unrolled kernel: "direct"
+# accumulates straight into the (K*Cg, BLK) GEMM-layout buffer (no
+# relayout pass); "rmw" accumulates into a lane-blocked (Cg, K*BLK)
+# scratch and relayouts; "regacc" keeps channel-blocked per-tap
+# accumulators in registers across the delta loop (see
 # _fwd_kernel_regacc).  Module-level so benchmarks can A/B them.
-FWD_SWEEP = "rmw"
+FWD_SWEEP = "regacc"
 
 
 def _interpret() -> bool:
@@ -65,6 +67,26 @@ def _interpret() -> bool:
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _axis_window(b: float) -> Tuple[int, int]:
+    """(lo, W): corner-row window along one axis for |off| <= b.
+
+    floor(pos) - anchor ranges over [-ceil(b), floor(b)]; the high corner
+    adds one row.  When b is an integer the top row (b + 1) carries value
+    weight exactly 0 (floor(off) == b only at off == b, where fr == 0), so
+    it is dropped: W = 2b + 1 — exact for outputs, and it cuts the
+    (tap, shift) sweep 36->25 pairs in 2D and 216->125 in 3D at b = 2.
+    The only behavioral change is the offset *derivative* at off == +b
+    exactly, which becomes one-sided (interior) — the same measure-zero
+    carve-out class as the integer-grid-point note in PARITY.md (the
+    reference's own EPS guards, deformable_conv.cu:254-260, already make
+    that point irregular)."""
+    lo = -math.ceil(b)
+    W = math.ceil(b) + math.floor(b) + 2
+    if b == math.floor(b):
+        W -= 1
+    return lo, W
 
 
 class SBPlan:
@@ -96,10 +118,11 @@ class SBPlan:
         bounds = offset_bound if isinstance(offset_bound, (tuple, list)) \
             else (offset_bound,) * nd
         self.bounds = tuple(float(b) for b in bounds)
-        # Corner-row window per axis: floor(pos)-anchor in [-ceil(b),
-        # floor(b)]; +1 for the high corner.
-        self.lo = tuple(-math.ceil(b) for b in self.bounds)
-        self.W = tuple(math.ceil(b) + math.floor(b) + 2 for b in self.bounds)
+        # Corner-row window per axis (see _axis_window: integer bounds
+        # drop the weight-0 top row).
+        wins = [_axis_window(b) for b in self.bounds]
+        self.lo = tuple(w[0] for w in wins)
+        self.W = tuple(w[1] for w in wins)
 
         # Flat strides of the input plane (== output plane: OS == S).
         st = [1] * nd
@@ -402,6 +425,43 @@ def _fwd_kernel(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
         precision=prec, preferred_element_type=jnp.float32)
 
 
+def _fwd_kernel_direct(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
+                       plan: SBPlan, prec, cd, save_cols: bool):
+    """Forward sweep variant: accumulate straight into the (K*Cg, BLK)
+    GEMM-layout buffer (sublane-blocked per tap) — no (Cg, K*BLK)
+    staging scratch and no relayout pass.  Profiling (r2) put the
+    relayout + extra zeroing at ~0.5ms of the 1.9ms cfg2 forward."""
+    p = plan
+    if save_cols:
+        cols_ref, acc2_ref, wr_ref = rest
+    else:
+        cols_ref = None
+        acc2_ref, wr_ref = rest
+    t = pl.program_id(2)
+    _expand_rows(cf_ref, co_ref, wr_ref, None, p)
+    xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
+    acc2_ref[...] = jnp.zeros_like(acc2_ref)
+
+    for delta, pairs in p.deltas.items():
+        xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+        for k, dyvec in pairs:
+            c = wr_ref[p.row0[0] + dyvec[0], k, :]
+            for d in range(1, p.nd):
+                c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
+            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] += c[None, :].astype(cd) * xs
+
+    if save_cols:
+        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
+    if p.modulated:
+        for k in range(p.K):
+            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
+            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
+    w2 = w2_ref[0].astype(cd)
+    out_ref[0, 0, 0] = jax.lax.dot_general(
+        w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel_regacc(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
                        plan: SBPlan, prec, cd, save_cols: bool):
     """Forward sweep variant: channel-blocked with per-tap accumulators
@@ -556,7 +616,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
         ],
         out_specs=out_specs,
         scratch_shapes=(
-            ([] if (p.unrolled and FWD_SWEEP == "regacc") else
+            ([] if (p.unrolled and FWD_SWEEP in ("regacc", "direct")) else
              [pltpu.VMEM((p.Cg, p.K * p.BLK),
                          jnp.float32 if cd == jnp.float32
                          else jnp.bfloat16)])
@@ -568,7 +628,9 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                if (p.unrolled and FWD_SWEEP == "regacc") else [])),
     )
     if p.unrolled:
-        kern = _fwd_kernel_regacc if FWD_SWEEP == "regacc" else _fwd_kernel
+        kern = {"regacc": _fwd_kernel_regacc,
+                "direct": _fwd_kernel_direct,
+                "rmw": _fwd_kernel}[FWD_SWEEP]
     else:
         kern = _fwd_kernel_loop
     out = pl.pallas_call(
@@ -1058,8 +1120,7 @@ def _reach0(spec: DeformConvSpec, offset_bound) -> int:
     """Leading-axis halo rows a chunked block needs on each side."""
     b = (offset_bound[0] if isinstance(offset_bound, (tuple, list))
          else offset_bound)
-    lo = -math.ceil(float(b))
-    W0 = math.ceil(float(b)) + math.floor(float(b)) + 2
+    lo, W0 = _axis_window(float(b))
     k0, dil0, pad0 = spec.kernel[0], spec.dilation[0], spec.padding[0]
     tbs = [i * dil0 - pad0 for i in range(k0)]
     return max(max(abs(tb + lo), abs(tb + lo + W0 - 1)) for tb in tbs)
