@@ -108,117 +108,48 @@ def main():
     xr = jax.jit(lambda x: sb._x_prep(x, plan))(x)
     w2 = jax.jit(lambda w: sb._w2_prep(w, plan, g))(w)
 
-    # 2. fwd kernel alone
+    # 2. fwd kernel alone (unrolled: cols only; loop: fused out)
     def fwd_kernel(cf, co, xr, w2):
-        outp, _ = sb._fwd_call(xr, cf, co, w2, plan, Og, precision,
-                               save_cols=False)
+        outp, cols = sb._fwd_call(xr, cf, co, w2, plan, Og, precision)
+        if outp is None:
+            return jnp.sum(cols[0, 0, 0, 0].astype(jnp.float32))
         return jnp.sum(outp[0, 0, 0, 0])
     res["fwd_kernel_ms"] = amortized(fwd_kernel, (cf, co, xr, w2)) * 1e3
 
-    def fwd_kernel_cols(cf, co, xr, w2):
-        outp, cols = sb._fwd_call(xr, cf, co, w2, plan, Og, precision,
-                                  save_cols=True)
-        return jnp.sum(outp[0, 0, 0, 0]) + jnp.sum(
-            cols[0, 0, 0, 0].astype(jnp.float32))
-    res["fwd_kernel_savecols_ms"] = amortized(
-        fwd_kernel_cols, (cf, co, xr, w2)) * 1e3
+    def fwd_e2e_kern(cf, co, xr, w2):
+        outp, cols = sb._fwd_call(xr, cf, co, w2, plan, Og, precision)
+        if outp is None:
+            outp = sb._cols_matmul(cols, w2, plan, Og, precision)
+        return jnp.sum(outp[0, 0, 0, 0])
+    res["fwd_kernel_plus_gemm_ms"] = amortized(
+        fwd_e2e_kern, (cf, co, xr, w2)) * 1e3
 
     # 3. bwd kernel alone
     gout = jnp.asarray(rng.standard_normal((B, O) + tuple(OS)), jnp.float32)
     goutp = jax.jit(lambda gg: sb._gout_prep(gg, plan, O, g))(gout)
-    cols = None
-    if plan.save_cols:
-        _, cols = jax.jit(functools.partial(
-            sb._fwd_call, plan=plan, Og=Og, precision=precision,
-            save_cols=True))(xr, cf, co, w2)
-
-    def bwd_kernel(cf, co, xr, w2, goutp, *mc):
-        c = mc[0] if mc else None
-        gxp, gs, gw2 = sb._bwd_call(xr, cf, co, w2, goutp, c, plan, Og,
-                                    precision, g)
-        return (jnp.sum(gxp[0, 0, 0]) + jnp.sum(gs[0, 0, 0, 0, 0])
-                + jnp.sum(gw2[0, 0]))
-    bwd_args = (cf, co, xr, w2, goutp) + ((cols,) if cols is not None else ())
-    res["bwd_kernel_ms"] = amortized(bwd_kernel, bwd_args) * 1e3
-
-    # 4. ablations: sweep-only / gemm-only forward variants
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def make_ablate(mode):
-        p = plan
-        cd = jnp.float32
-        prec = jax.lax.Precision.DEFAULT
-
-        def kern(cf_ref, co_ref, x_ref, w2_ref, out_ref, acc_ref, acc2_ref,
-                 wr_ref):
-            t = pl.program_id(2)
-            sb._expand_rows(cf_ref, co_ref, wr_ref, None, p)
-            if mode != "fixed":
-                xw = x_ref[0, 0, :,
-                           pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
-            if mode in ("sweep", "full"):
-                for delta, pairs in p.deltas.items():
-                    xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-                    for kk, dyvec in pairs:
-                        c = wr_ref[p.row0[0] + dyvec[0], kk, :]
-                        for d in range(1, p.nd):
-                            c = c * wr_ref[p.row0[d] + dyvec[d], kk, :]
-                        acc_ref[:, pl.ds(kk * p.BLK, p.BLK)] += \
-                            c[None, :].astype(cd) * xs
-            for kk in range(p.K):
-                acc2_ref[pl.ds(kk * p.Cg, p.Cg), :] = \
-                    acc_ref[:, pl.ds(kk * p.BLK, p.BLK)]
-            if mode in ("gemm", "full"):
-                w2v = w2_ref[0].astype(cd)
-                out_ref[0, 0, 0] = jax.lax.dot_general(
-                    w2v, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32)
-            else:
-                out_ref[0, 0, 0] = acc2_ref[:Og, :].astype(jnp.float32)
-
-        grid_spec = pl.GridSpec(
-            grid=(p.B, p.dg, p.NT),
-            in_specs=[
-                pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
-                             lambda b, d, t: (b, d, 0, 0, t),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, p.BLK), lambda b, d, t: (0, t),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p.Cg, p.QPAD),
-                             lambda b, d, t: (b, d, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Og, p.K * p.Cg),
-                             lambda b, d, t: (d, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[pl.BlockSpec((1, 1, 1, Og, p.BLK),
-                                    lambda b, d, t: (b, d, t, 0, 0),
-                                    memory_space=pltpu.VMEM)],
-            scratch_shapes=[
-                pltpu.VMEM((p.Cg, p.K * p.BLK), jnp.float32),
-                pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
-                pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
-            ],
-        )
-
-        def call(cf, co, xr, w2):
-            out = pl.pallas_call(
-                kern, grid_spec=grid_spec,
-                out_shape=[jax.ShapeDtypeStruct(
-                    (p.B, p.dg, p.NT, Og, p.BLK), jnp.float32)],
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=sb._VMEM_LIMIT),
-                interpret=sb._interpret(),
-            )(cf, co, xr, w2)
-            return jnp.sum(out[0][0, 0, 0, 0])
-        return call
-
     if plan.unrolled:
-        for mode in ("fixed", "sweep", "gemm", "full"):
-            res[f"ablate_{mode}_ms"] = amortized(
-                make_ablate(mode), (cf, co, xr, w2)) * 1e3
+        def bwd_kernel(cf, co, xr, w2, goutp):
+            gxp, gs = sb._bwd_call_unrolled(xr, cf, co, w2, goutp, plan,
+                                            Og, precision, g)
+            return jnp.sum(gxp[0, 0, 0]) + jnp.sum(gs[0, 0, 0, 0, 0])
+        res["bwd_kernel_ms"] = amortized(
+            bwd_kernel, (cf, co, xr, w2, goutp)) * 1e3
+    else:
+        cols = None
+        if plan.save_cols:
+            _, cols = jax.jit(functools.partial(
+                sb._fwd_call, plan=plan, Og=Og, precision=precision,
+                save_cols=True))(xr, cf, co, w2)
+
+        def bwd_kernel(cf, co, xr, w2, goutp, *mc):
+            c = mc[0] if mc else None
+            gxp, gs, gw2 = sb._bwd_call(xr, cf, co, w2, goutp, c, plan, Og,
+                                        precision, g)
+            return (jnp.sum(gxp[0, 0, 0]) + jnp.sum(gs[0, 0, 0, 0, 0])
+                    + jnp.sum(gw2[0, 0]))
+        bwd_args = (cf, co, xr, w2, goutp) + (
+            (cols,) if cols is not None else ())
+        res["bwd_kernel_ms"] = amortized(bwd_kernel, bwd_args) * 1e3
 
     # 5. end-to-end via public API
     from modulated_deform_conv_tpu import modulated_deform_conv2d, \

@@ -52,13 +52,15 @@ _VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
 
-# Forward window-sweep variant for the unrolled kernel: "direct"
-# accumulates straight into the (K*Cg, BLK) GEMM-layout buffer (no
-# relayout pass); "rmw" accumulates into a lane-blocked (Cg, K*BLK)
-# scratch and relayouts; "regacc" keeps channel-blocked per-tap
-# accumulators in registers across the delta loop (see
-# _fwd_kernel_regacc).  Module-level so benchmarks can A/B them.
-FWD_SWEEP = "regacc"
+# Unrolled-path division of labor (r2 rework, from measured ablations):
+# the Pallas kernels are VPU-only — the forward emits the masked column
+# matrix as its output and the grouped GEMM (reference
+# deformable_conv.cu:163-180) runs as an XLA einsum over it, because an
+# MXU dot at the end of a VPU kernel body serializes against the sweep
+# (~0.7ms/step on cfg2) while XLA pipelines the same GEMM against HBM.
+# Likewise the backward accumulates per-pair offset/mask gradient rows in
+# registers (tap-major) instead of (BLK,)-row VMEM read-modify-writes,
+# which dominated the old backward (~2ms/step of RMW latency).
 
 
 def _interpret() -> bool:
@@ -386,130 +388,62 @@ def _cdtype(precision: str):
     return jnp.bfloat16 if precision == "bfloat16" else jnp.float32
 
 
-def _fwd_kernel(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest, plan: SBPlan,
-                prec, cd, save_cols: bool):
+def _flat_pairs(plan: SBPlan):
+    """[(idx, delta, k, dyvec)] delta-major — one entry per (tap, window)
+    pair; consecutive same-delta entries share the x-window slice."""
+    out = []
+    for delta, pairs in plan.deltas.items():
+        for k, dyvec in pairs:
+            out.append((len(out), delta, k, dyvec))
+    return out
+
+
+def _pair_row(wr_ref, cf_ref, k, dyvec, plan: SBPlan, masked: bool):
+    """(BLK,) coefficient row for one (tap, window) pair: the product of
+    the per-axis corner-weight rows, optionally times the mask row (the
+    reference applies the mask to the sampled value,
+    mdeformable_conv.cu:83)."""
     p = plan
-    if save_cols:
-        cols_ref, acc_ref, acc2_ref, wr_ref = rest
-    else:
-        cols_ref = None
-        acc_ref, acc2_ref, wr_ref = rest
+    c = wr_ref[p.row0[0] + dyvec[0], k, :]
+    for d in range(1, p.nd):
+        c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
+    if masked and p.modulated:
+        c = c * cf_ref[0, 0, p.cmask, k, :]
+    return c
+
+
+def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
+                     wr_ref, cp_ref, *, plan: SBPlan, prec, cd):
+    """Unrolled forward: the delta-major register sweep emits the MASKED
+    column matrix (K*Cg, BLK) straight into its output block, then the
+    grouped GEMM (reference deformable_conv.cu:174-180) reads that block
+    on the MXU — overlapping the column DMA-out, which measured faster
+    than both the old separate mask pass and an XLA-side einsum.
+    Channel-blocked with per-tap register accumulators; the per-pair
+    coefficient rows (mask folded in, mdeformable_conv.cu:83) are built
+    once per cell."""
+    p = plan
     t = pl.program_id(2)
     _expand_rows(cf_ref, co_ref, wr_ref, None, p)
-    xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    for delta, pairs in p.deltas.items():
-        xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-        for k, dyvec in pairs:
-            c = wr_ref[p.row0[0] + dyvec[0], k, :]
-            for d in range(1, p.nd):
-                c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
-            acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += c[None, :].astype(cd) * xs
-
-    # Relayout (Cg, K*BLK) -> (K*Cg, BLK) by slice copies (in-kernel
-    # transposes do not lower on TPU), save the pre-mask columns residual,
-    # then apply the mask and run the grouped GEMM on the MXU.
-    for k in range(p.K):
-        acc2_ref[pl.ds(k * p.Cg, p.Cg), :] = \
-            acc_ref[:, pl.ds(k * p.BLK, p.BLK)]
-    if save_cols:
-        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
-    if p.modulated:
-        for k in range(p.K):
-            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
-            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
-    w2 = w2_ref[0].astype(cd)
-    out_ref[0, 0, 0] = jax.lax.dot_general(
-        w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)
-
-
-def _fwd_kernel_direct(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
-                       plan: SBPlan, prec, cd, save_cols: bool):
-    """Forward sweep variant: accumulate straight into the (K*Cg, BLK)
-    GEMM-layout buffer (sublane-blocked per tap) — no (Cg, K*BLK)
-    staging scratch and no relayout pass.  Profiling (r2) put the
-    relayout + extra zeroing at ~0.5ms of the 1.9ms cfg2 forward."""
-    p = plan
-    if save_cols:
-        cols_ref, acc2_ref, wr_ref = rest
-    else:
-        cols_ref = None
-        acc2_ref, wr_ref = rest
-    t = pl.program_id(2)
-    _expand_rows(cf_ref, co_ref, wr_ref, None, p)
-    xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
-    acc2_ref[...] = jnp.zeros_like(acc2_ref)
-
-    for delta, pairs in p.deltas.items():
-        xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-        for k, dyvec in pairs:
-            c = wr_ref[p.row0[0] + dyvec[0], k, :]
-            for d in range(1, p.nd):
-                c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
-            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] += c[None, :].astype(cd) * xs
-
-    if save_cols:
-        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
-    if p.modulated:
-        for k in range(p.K):
-            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
-            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
-    w2 = w2_ref[0].astype(cd)
-    out_ref[0, 0, 0] = jax.lax.dot_general(
-        w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)
-
-
-def _fwd_kernel_regacc(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
-                       plan: SBPlan, prec, cd, save_cols: bool):
-    """Forward sweep variant: channel-blocked with per-tap accumulators
-    kept as SSA values (register-resident) across the whole delta loop,
-    instead of read-modify-writes on a VMEM accumulator per (tap, shift)
-    pair.  The 2*|pairs| VMEM accumulator touches per channel row become
-    K stores; the pair coefficient rows are built once per grid cell."""
-    p = plan
-    if save_cols:
-        cols_ref, acc2_ref, wr_ref, cp_ref = rest
-    else:
-        cols_ref = None
-        acc2_ref, wr_ref, cp_ref = rest
-    t = pl.program_id(2)
-    _expand_rows(cf_ref, co_ref, wr_ref, None, p)
-
-    # Pair coefficient rows, one per (tap, window) pair, delta-major.
-    flat_pairs = []
-    for delta, pairs in p.deltas.items():
-        for k, dyvec in pairs:
-            flat_pairs.append((len(flat_pairs), delta, k, dyvec))
-    for idx, delta, k, dyvec in flat_pairs:
-        c = wr_ref[p.row0[0] + dyvec[0], k, :]
-        for d in range(1, p.nd):
-            c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
-        cp_ref[idx] = c
+    fps = _flat_pairs(p)
+    for idx, delta, k, dyvec in fps:
+        cp_ref[idx] = _pair_row(wr_ref, cf_ref, k, dyvec, p, masked=True)
 
     CB = 8
     for cb in range(p.Cg // CB):
         xw = x_ref[0, 0, pl.ds(cb * CB, CB),
                    pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
         accs = [jnp.zeros((CB, p.BLK), cd) for _ in range(p.K)]
-        for idx, delta, k, dyvec in flat_pairs:
+        for idx, delta, k, dyvec in fps:
             xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-            c = cp_ref[idx, :]
-            accs[k] = accs[k] + c[None, :].astype(cd) * xs
+            accs[k] = accs[k] + cp_ref[idx, :][None, :].astype(cd) * xs
         for k in range(p.K):
-            acc2_ref[pl.ds(k * p.Cg + cb * CB, CB), :] = accs[k]
+            cols_ref[0, 0, 0, pl.ds(k * p.Cg + cb * CB, CB), :] = \
+                accs[k].astype(cols_ref.dtype)
 
-    if save_cols:
-        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
-    if p.modulated:
-        for k in range(p.K):
-            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
-            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
-    w2 = w2_ref[0].astype(cd)
     out_ref[0, 0, 0] = jax.lax.dot_general(
-        w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
+        w2_ref[0].astype(cd), cols_ref[0, 0, 0].astype(cd),
+        (((1,), (0,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
 
 
@@ -579,23 +513,74 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
         precision=prec, preferred_element_type=jnp.float32)
 
 
+def _cols_dtype(precision: str):
+    # Keep the columns exact in float32 mode, compact otherwise.
+    return jnp.float32 if precision == "float32" else jnp.bfloat16
+
+
 def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
               save_cols: bool = False):
+    """Unrolled path: returns (None, cols) — masked columns only; the
+    grouped GEMM runs in XLA (see _cols_matmul).  Loop path (large 3D
+    windows): returns (outp, cols?) with the GEMM fused as before."""
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
+    if p.unrolled:
+        grid_spec = pl.GridSpec(
+            grid=(p.B, p.dg, p.NT),
+            in_specs=[
+                pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
+                             lambda b, d, t: (b, d, 0, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, p.BLK), lambda b, d, t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p.Cg, p.QPAD),
+                             lambda b, d, t: (b, d, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Og, p.K * p.Cg),
+                             lambda b, d, t: (d, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, Og, p.BLK),
+                             lambda b, d, t: (b, d, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
+                             lambda b, d, t: (b, d, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+                pltpu.VMEM((_round_up(p.n_pairs, 8), p.BLK), jnp.float32),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_cols, plan=p, prec=prec, cd=cd),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((p.B, p.dg, p.NT, Og, p.BLK),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K * p.Cg, p.BLK),
+                                     _cols_dtype(precision)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(cf, co, xr, w2)
+        return out[0], out[1]
+
     out_shapes = [jax.ShapeDtypeStruct((p.B, p.dg, p.NT, Og, p.BLK),
                                        jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1, 1, Og, p.BLK),
                               lambda b, d, t: (b, d, t, 0, 0),
                               memory_space=pltpu.VMEM)]
     if save_cols:
-        # The saved pre-mask columns feed grad_mask / grad_weight; keep
-        # them exact in float32 mode, compact otherwise.
+        # Loop path saves PRE-mask columns (its backward computes
+        # grad_mask from them, mirroring mdeformable_conv.cu:315).
         out_shapes.append(jax.ShapeDtypeStruct(
-            (p.B, p.dg, p.NT, p.K * p.Cg, p.BLK),
-            jnp.float32 if precision == "float32" else jnp.bfloat16))
+            (p.B, p.dg, p.NT, p.K * p.Cg, p.BLK), _cols_dtype(precision)))
         out_specs.append(pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
                                       lambda b, d, t: (b, d, t, 0, 0),
                                       memory_space=pltpu.VMEM))
@@ -615,26 +600,16 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=(
-            ([] if (p.unrolled and FWD_SWEEP in ("regacc", "direct")) else
-             [pltpu.VMEM((p.Cg, p.K * p.BLK),
-                         jnp.float32 if cd == jnp.float32
-                         else jnp.bfloat16)])
-            + [pltpu.VMEM((p.K * p.Cg, p.BLK),
-                          jnp.float32 if cd == jnp.float32
-                          else jnp.bfloat16),
-               pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32)]
-            + ([pltpu.VMEM((_round_up(p.n_pairs, 8), p.BLK), jnp.float32)]
-               if (p.unrolled and FWD_SWEEP == "regacc") else [])),
+        scratch_shapes=[
+            pltpu.VMEM((p.Cg, p.K * p.BLK),
+                       jnp.float32 if cd == jnp.float32 else jnp.bfloat16),
+            pltpu.VMEM((p.K * p.Cg, p.BLK),
+                       jnp.float32 if cd == jnp.float32 else jnp.bfloat16),
+            pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+        ],
     )
-    if p.unrolled:
-        kern = {"regacc": _fwd_kernel_regacc,
-                "direct": _fwd_kernel_direct,
-                "rmw": _fwd_kernel}[FWD_SWEEP]
-    else:
-        kern = _fwd_kernel_loop
     out = pl.pallas_call(
-        functools.partial(kern, plan=p, prec=prec, cd=cd,
+        functools.partial(_fwd_kernel_loop, plan=p, prec=prec, cd=cd,
                           save_cols=save_cols),
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -642,6 +617,17 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
         interpret=_interpret(),
     )(cf, co, xr, w2)
     return (out[0], out[1]) if save_cols else (out[0], None)
+
+
+def _cols_matmul(cols, w2, plan: SBPlan, Og: int, precision: str):
+    """Grouped GEMM over the kernel's masked columns in XLA (reference
+    deformable_conv.cu:174-180): (dg, Og, K*Cg) x (B, dg, NT, K*Cg, BLK)
+    -> (B, dg, NT, Og, BLK) partials for _finish_out."""
+    prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+            else jax.lax.Precision.DEFAULT)
+    lhs = w2.astype(cols.dtype)
+    return jnp.einsum("dok,bdtkl->bdtol", lhs, cols, precision=prec,
+                      preferred_element_type=jnp.float32)
 
 
 def _finish_out(outp, plan: SBPlan, O: int, groups: int, bias, out_dtype):
@@ -669,7 +655,9 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
     cf, co = _coef_prep(offset, m, spec, plan)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
-    outp, _ = _fwd_call(xr, cf, co, w2, plan, Og, precision)
+    outp, cols = _fwd_call(xr, cf, co, w2, plan, Og, precision)
+    if outp is None:
+        outp = _cols_matmul(cols, w2, plan, Og, precision)
     return _finish_out(outp, plan, O, spec.groups, bias, x.dtype)
 
 
@@ -678,8 +666,8 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
-                gx_ref, gs_ref, gw_ref,
+def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref,
+                gx_ref, gs_ref,
                 gcols_ref, gxw_ref, wr_ref, dwr_ref, *, plan: SBPlan,
                 prec, cd):
     """One output block of the backward.
@@ -703,66 +691,73 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
     def _():
         gx_ref[...] = jnp.zeros_like(gx_ref)
 
-    @pl.when((b == 0) & (t == 0))
-    def _():
-        gw_ref[...] = jnp.zeros_like(gw_ref)
-
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
-    gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
-
-    # gcols = W2^T @ gout, contract Og on the MXU (reference
-    # deformable_conv.cu:384 addmm_ beta=0).
+    # gcols = W2^T @ gout on the MXU (reference deformable_conv.cu:384) —
+    # kept in-kernel: it sits at the head of the body where its latency
+    # hides under the input DMAs (measured faster than an XLA round-trip
+    # through HBM).  grad_weight = gout @ masked_cols^T runs as an XLA
+    # einsum instead (deformable_conv.cu:404-406): an MXU dot at the END
+    # of the body serializes against the sweeps, and dropping it also
+    # drops the kernel's columns input stream.
     gcols_ref[...] = jax.lax.dot_general(
-        w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
+        w2_ref[0].astype(cd), gout_ref[0, 0].astype(cd),
+        (((0,), (0,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
 
-    for k in range(p.K):
-        sl = pl.ds(k * p.Cg, p.Cg)
-        colnm = cols_ref[0, 0, 0, sl, :].astype(jnp.float32)
-        gcol = gcols_ref[sl, :]
-        # grad_mask = sum_c gcol * unmasked column value
-        # (mdeformable_conv.cu:315) — exact at mask == 0.
-        gs_ref[0, 0, 0, k, p.nd, :] = jnp.sum(gcol * colnm, axis=0,
-                                              keepdims=True)[0]
-        if p.modulated:
-            m = cf_ref[0, 0, p.cmask, k, :]
-            col = colnm * m[None, :]
-            gcoln = gcol * m[None, :]
-            gcols_ref[sl, :] = gcoln          # masked gcol for gx / s-grads
-        else:
-            col = colnm
-        # grad_weight slice += gout @ col^T (deformable_conv.cu:404-406).
-        gw_ref[0, :, sl] += jax.lax.dot_general(
-            gout, col.astype(cd), (((1,), (1,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32)
-        for r in range(p.nd):
-            gs_ref[0, 0, 0, k, r, :] = jnp.zeros((p.BLK,), jnp.float32)
-
+    # Sweep 1 (delta-major): grad_x.  The mask rides in the per-pair
+    # coefficient row (a (BLK,) multiply) instead of a (Cg, BLK) pass
+    # over gcols; contributions at one delta accumulate in registers and
+    # hit the gxw window with a single RMW per delta.
     gxw_ref[...] = jnp.zeros_like(gxw_ref)
     for delta, pairs in p.deltas.items():
-        xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
         tmp = None
         for k, dyvec in pairs:
+            cm = _pair_row(wr_ref, cf_ref, k, dyvec, p, masked=True)
+            contrib = cm[None, :] * gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
+            tmp = contrib if tmp is None else tmp + contrib
+        gxw_ref[:, p.RPAD + delta:p.RPAD + delta + p.BLK] += tmp
+    gx_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)] += gxw_ref[...]
+
+    # Sweep 2 (tap-major): offset/mask gradients with REGISTER row
+    # accumulators — the old per-pair (BLK,)-row VMEM read-modify-writes
+    # were the dominant backward cost (~2ms/step on cfg2, latency-bound).
+    # r0_nm(p) = sum_c gcol * x(p + delta) is the unmasked correlation
+    # row; grad_offset reduces dab * mask * r0_nm (analytic forms,
+    # deformable_conv.cu:281-283) and grad_mask reduces ab_nm * r0_nm,
+    # which equals sum_c gcol * colnm (mdeformable_conv.cu:315) without
+    # needing an unmasked-columns residual — and stays exact at mask == 0.
+    gs_ref[...] = jnp.zeros_like(gs_ref)
+    tap_windows = {k: [] for k in range(p.K)}
+    for delta, pairs in p.deltas.items():
+        for k, dyvec in pairs:
+            tap_windows[k].append((delta, dyvec))
+    for k in range(p.K):
+        gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
+        mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
+        goff = [jnp.zeros((p.BLK,), jnp.float32) for _ in range(p.nd)]
+        gm = jnp.zeros((p.BLK,), jnp.float32) if p.modulated else None
+        for delta, dyvec in tap_windows[k]:
+            xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+            r0nm = jnp.sum(gcol * xs, axis=0, keepdims=True)[0]
+            r0m = r0nm * mrow if p.modulated else r0nm
             arows = [wr_ref[p.row0[d] + dyvec[d], k, :]
                      for d in range(p.nd)]
-            ab = arows[0]
-            for d in range(1, p.nd):
-                ab = ab * arows[d]
-            gcoln = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
-            contrib = ab[None, :] * gcoln
-            tmp = contrib if tmp is None else tmp + contrib
-            # r0(p) = sum_c gcoln * x(p + delta): one correlation row per
-            # (tap, shift); all offset grads reduce against it.
-            r0 = jnp.sum(gcoln * xs, axis=0, keepdims=True)[0]
             for d in range(p.nd):
                 dab = dwr_ref[p.row0[d] + dyvec[d], k, :]
                 for e in range(p.nd):
                     if e != d:
                         dab = dab * arows[e]
-                gs_ref[0, 0, 0, k, d, :] += dab * r0
-        gxw_ref[:, p.RPAD + delta:p.RPAD + delta + p.BLK] += tmp
-    gx_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)] += gxw_ref[...]
+                goff[d] = goff[d] + dab * r0m
+            if p.modulated:
+                ab = arows[0]
+                for d in range(1, p.nd):
+                    ab = ab * arows[d]
+                gm = gm + ab * r0nm
+        for d in range(p.nd):
+            gs_ref[0, 0, 0, k, d, :] = goff[d]
+        if p.modulated:
+            gs_ref[0, 0, 0, k, p.nd, :] = gm
 
 
 def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
@@ -885,8 +880,64 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     jax.lax.fori_loop(0, p.W[0], body, 0)
 
 
+def _bwd_call_unrolled(xr, cf, co, w2, goutp, plan: SBPlan, Og: int,
+                       precision: str, groups: int):
+    """Unrolled backward: in-kernel gcols dot + VPU sweeps; produces
+    grad_x plane partials and the offset/mask gradient rows.
+    grad_weight runs as an XLA einsum over the saved masked columns."""
+    p = plan
+    cd = _cdtype(precision)
+    prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+            else jax.lax.Precision.DEFAULT)
+    NRS = 8
+    spg = p.dg // groups
+    grid_spec = pl.GridSpec(
+        grid=(p.dg, p.B, p.NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
+                         lambda d, b, t: (b, d, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p.BLK), lambda d, b, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p.Cg, p.QPAD), lambda d, b, t: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Og, p.K * p.Cg), lambda d, b, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Og, p.BLK),
+                         lambda d, b, t: (b, d // spg, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p.Cg, p.QPAD), lambda d, b, t: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K, NRS, p.BLK),
+                         lambda d, b, t: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
+            pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32),
+            pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+            pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, plan=p, prec=prec, cd=cd),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K, NRS, p.BLK),
+                                 jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(cf, co, xr, w2, goutp)
+    return out[0], out[1]
+
+
 def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
               precision: str, groups: int):
+    """Rolled-loop (large-window / 3D) backward with the fused MXU dots."""
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
@@ -932,22 +983,16 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)]
-            + ([pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32)]
-               if p.unrolled else
-               [pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32)])
-            + [pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
-               pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32)]
+            [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
+             pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32),
+             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32)]
             + ([] if cols is not None else
                [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)])),
     )
     has_cols = cols is not None
-    if p.unrolled:
-        assert has_cols
-        kern = functools.partial(_bwd_kernel, plan=p, prec=prec, cd=cd)
-    else:
-        kern = functools.partial(_bwd_kernel_loop, plan=p, prec=prec,
-                                 cd=cd, has_cols=has_cols)
+    kern = functools.partial(_bwd_kernel_loop, plan=p, prec=prec,
+                             cd=cd, has_cols=has_cols)
     args = (cf, co, xr, w2, goutp) + ((cols,) if has_cols else ())
     return pl.pallas_call(
         kern,
@@ -1010,6 +1055,8 @@ def _shift_conv_impl(x, offset, mask, weight, origin, spec, precision,
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
     outp, cols = _fwd_call(xr, cf, co, w2, plan, Og, precision,
                            save_cols=save_cols)
+    if outp is None:  # unrolled path: GEMM over the masked columns in XLA
+        outp = _cols_matmul(cols, w2, plan, Og, precision)
     out = _finish_out(outp, plan, O, spec.groups, None, x.dtype)
     return out, (cf, co, xr, w2, cols)
 
@@ -1040,8 +1087,24 @@ def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
     O = weight.shape[0]
     Og = O // spec.groups
     goutp = _gout_prep(g, plan, O, spec.groups)
-    gxp, gs, gw2 = _bwd_call(xr, cf, co, w2, goutp, cols, plan, Og,
-                             precision, spec.groups)
+    if p.unrolled:
+        prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+                else jax.lax.Precision.DEFAULT)
+        gd = _cols_dtype(precision)
+        gxp, gs = _bwd_call_unrolled(xr, cf, co, w2, goutp, plan, Og,
+                                     precision, spec.groups)
+        # grad_weight = grad_out @ masked_cols^T in XLA
+        # (deformable_conv.cu:404-406 with mdeformable_conv.cu:316's
+        # masked columns).
+        spg = p.dg // spec.groups
+        goutd = goutp if spg == 1 else jnp.repeat(goutp, spg, axis=1)
+        goutt = goutd.reshape(p.B, p.dg, Og, p.NT, p.BLK)
+        gw2 = jnp.einsum("bdotl,bdtkl->dok", goutt.astype(gd),
+                         cols.astype(gd), precision=prec,
+                         preferred_element_type=jnp.float32)
+    else:
+        gxp, gs, gw2 = _bwd_call(xr, cf, co, w2, goutp, cols, plan, Og,
+                                 precision, spec.groups)
 
     flat = math.prod(p.S)
     left = p.RPAD - p.lead_R * p.qstride[0]
