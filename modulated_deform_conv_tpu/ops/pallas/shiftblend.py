@@ -413,15 +413,14 @@ def _pair_row(wr_ref, cf_ref, k, dyvec, plan: SBPlan, masked: bool):
 
 
 def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
-                     wr_ref, cp_ref, *, plan: SBPlan, prec, cd):
-    """Unrolled forward: the delta-major register sweep emits the MASKED
-    column matrix (K*Cg, BLK) straight into its output block, then the
-    grouped GEMM (reference deformable_conv.cu:174-180) reads that block
-    on the MXU — overlapping the column DMA-out, which measured faster
-    than both the old separate mask pass and an XLA-side einsum.
-    Channel-blocked with per-tap register accumulators; the per-pair
-    coefficient rows (mask folded in, mdeformable_conv.cu:83) are built
-    once per cell."""
+                     acc2_ref, wr_ref, cp_ref, *, plan: SBPlan, prec, cd):
+    """Unrolled forward: the delta-major register sweep stages the MASKED
+    column matrix (K*Cg, BLK) in an f32 scratch, emits it (compact) as
+    the columns output for the backward, and runs the grouped GEMM
+    (reference deformable_conv.cu:174-180) from the f32 staging on the
+    MXU — overlapping the column DMA-out.  Channel-blocked with per-tap
+    register accumulators; the per-pair coefficient rows (mask folded
+    in, mdeformable_conv.cu:83) are built once per cell."""
     p = plan
     t = pl.program_id(2)
     _expand_rows(cf_ref, co_ref, wr_ref, None, p)
@@ -438,11 +437,12 @@ def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
             xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
             accs[k] = accs[k] + cp_ref[idx, :][None, :].astype(cd) * xs
         for k in range(p.K):
-            cols_ref[0, 0, 0, pl.ds(k * p.Cg + cb * CB, CB), :] = \
-                accs[k].astype(cols_ref.dtype)
+            acc2_ref[pl.ds(k * p.Cg + cb * CB, CB), :] = \
+                accs[k].astype(jnp.float32)
 
+    cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
     out_ref[0, 0, 0] = jax.lax.dot_general(
-        w2_ref[0].astype(cd), cols_ref[0, 0, 0].astype(cd),
+        w2_ref[0].astype(cd), acc2_ref[...].astype(cd),
         (((1,), (0,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
 
@@ -514,7 +514,9 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
 
 
 def _cols_dtype(precision: str):
-    # Keep the columns exact in float32 mode, compact otherwise.
+    # The masked-columns residual feeds grad_weight only (the forward
+    # GEMM reads the f32 staging scratch): exact in float32 mode,
+    # compact otherwise.
     return jnp.float32 if precision == "float32" else jnp.bfloat16
 
 
@@ -552,6 +554,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
+                pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
                 pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
                 pltpu.VMEM((_round_up(p.n_pairs, 8), p.BLK), jnp.float32),
             ],
@@ -666,8 +669,8 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref,
-                gx_ref, gs_ref,
+def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
+                gx_ref, gs_ref, gw_ref,
                 gcols_ref, gxw_ref, wr_ref, dwr_ref, *, plan: SBPlan,
                 prec, cd):
     """One output block of the backward.
@@ -691,18 +694,24 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref,
     def _():
         gx_ref[...] = jnp.zeros_like(gx_ref)
 
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
-    # gcols = W2^T @ gout on the MXU (reference deformable_conv.cu:384) —
-    # kept in-kernel: it sits at the head of the body where its latency
-    # hides under the input DMAs (measured faster than an XLA round-trip
-    # through HBM).  grad_weight = gout @ masked_cols^T runs as an XLA
-    # einsum instead (deformable_conv.cu:404-406): an MXU dot at the END
-    # of the body serializes against the sweeps, and dropping it also
-    # drops the kernel's columns input stream.
+    # The kernel's two MXU dots sit at the head of the body where their
+    # latency hides under the input DMAs (measured faster than XLA
+    # round-trips through HBM): gcols = W2^T @ gout (reference
+    # deformable_conv.cu:384) and grad_weight += gout @ masked_cols^T in
+    # ONE dot over all taps (deformable_conv.cu:404-406 — the saved
+    # columns are post-mask, mdeformable_conv.cu:316).
+    gout = gout_ref[0, 0].astype(cd)
     gcols_ref[...] = jax.lax.dot_general(
-        w2_ref[0].astype(cd), gout_ref[0, 0].astype(cd),
-        (((0,), (0,)), ((), ())),
+        w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+    gw_ref[0] += jax.lax.dot_general(
+        gout, cols_ref[0, 0, 0].astype(cd), (((1,), (1,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
 
     # Sweep 1 (delta-major): grad_x.  The mask rides in the per-pair
@@ -880,17 +889,20 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     jax.lax.fori_loop(0, p.W[0], body, 0)
 
 
-def _bwd_call_unrolled(xr, cf, co, w2, goutp, plan: SBPlan, Og: int,
+def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
                        precision: str, groups: int):
-    """Unrolled backward: in-kernel gcols dot + VPU sweeps; produces
-    grad_x plane partials and the offset/mask gradient rows.
-    grad_weight runs as an XLA einsum over the saved masked columns."""
+    """Unrolled backward: in-kernel gcols/grad_weight dots + VPU sweeps;
+    produces grad_x plane partials, the offset/mask gradient rows, and
+    grad_weight slabs."""
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
     NRS = 8
     spg = p.dg // groups
+    # Grid (dg, B, NT), dg outermost: the gw output block is indexed by
+    # dg alone and accumulated across (B, NT), which is only safe when
+    # all its visits are consecutive (see _bwd_kernel comment).
     grid_spec = pl.GridSpec(
         grid=(p.dg, p.B, p.NT),
         in_specs=[
@@ -906,12 +918,17 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, plan: SBPlan, Og: int,
             pl.BlockSpec((1, 1, Og, p.BLK),
                          lambda d, b, t: (b, d // spg, 0, t),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
+                         lambda d, b, t: (b, d, t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, p.Cg, p.QPAD), lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, p.K, NRS, p.BLK),
                          lambda d, b, t: (b, d, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Og, p.K * p.Cg), lambda d, b, t: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -928,11 +945,12 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, plan: SBPlan, Og: int,
             jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
             jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K, NRS, p.BLK),
                                  jnp.float32),
+            jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(cf, co, xr, w2, goutp)
-    return out[0], out[1]
+    )(cf, co, xr, w2, goutp, cols)
+    return out[0], out[1], out[2]
 
 
 def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
@@ -1088,20 +1106,8 @@ def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
     Og = O // spec.groups
     goutp = _gout_prep(g, plan, O, spec.groups)
     if p.unrolled:
-        prec = (jax.lax.Precision.HIGHEST if precision == "float32"
-                else jax.lax.Precision.DEFAULT)
-        gd = _cols_dtype(precision)
-        gxp, gs = _bwd_call_unrolled(xr, cf, co, w2, goutp, plan, Og,
-                                     precision, spec.groups)
-        # grad_weight = grad_out @ masked_cols^T in XLA
-        # (deformable_conv.cu:404-406 with mdeformable_conv.cu:316's
-        # masked columns).
-        spg = p.dg // spec.groups
-        goutd = goutp if spg == 1 else jnp.repeat(goutp, spg, axis=1)
-        goutt = goutd.reshape(p.B, p.dg, Og, p.NT, p.BLK)
-        gw2 = jnp.einsum("bdotl,bdtkl->dok", goutt.astype(gd),
-                         cols.astype(gd), precision=prec,
-                         preferred_element_type=jnp.float32)
+        gxp, gs, gw2 = _bwd_call_unrolled(xr, cf, co, w2, goutp, cols,
+                                          plan, Og, precision, spec.groups)
     else:
         gxp, gs, gw2 = _bwd_call(xr, cf, co, w2, goutp, cols, plan, Og,
                                  precision, spec.groups)
