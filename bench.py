@@ -142,6 +142,13 @@ def main():
                          "0 disables the shift-blend fast path")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--precision", default="tensorfloat32",
+                    choices=["float32", "tensorfloat32", "bfloat16"],
+                    help="op compute-precision mode: float32 = exact f32 "
+                         "sweeps + HIGHEST MXU; tensorfloat32 (default) = "
+                         "f32 sweeps + single-pass MXU; bfloat16 = full "
+                         "bf16 pipeline (~2x VPU rate, fp16-class error, "
+                         "the analog of the reference's half dispatch)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -173,6 +180,7 @@ def main():
         out = modulated_deform_conv2d(x, off, mask, w, bias, stride=1,
                                       padding=1, groups=g,
                                       deformable_groups=dg, impl=args.impl,
+                                      precision=args.precision,
                                       offset_bound=ob)
         return jnp.sum(out * out)
 
@@ -207,6 +215,7 @@ def main():
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
         "config": "DCNv2 B=8 256ch 56x56 g=dg=4 bias (BASELINE config 2)",
         "dtype": args.dtype,
+        "precision": args.precision,
         "impl": args.impl,
         "offset_bound": args.offset_bound,
         "fwd_ms": t_fwd * 1e3,

@@ -428,14 +428,19 @@ def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
     for idx, delta, k, dyvec in fps:
         cp_ref[idx] = _pair_row(wr_ref, cf_ref, k, dyvec, p, masked=True)
 
+    # The sweep always runs in f32: a full-bf16 VPU pipeline measured
+    # SLOWER under the current Mosaic toolchain (2-4x, even with 16-row
+    # bf16 register tiles; see benchmarks/probe_v3.py history) — the
+    # bfloat16 precision mode therefore means bf16 MXU operands and
+    # bf16 residual storage, not bf16 vector arithmetic.
     CB = 8
     for cb in range(p.Cg // CB):
         xw = x_ref[0, 0, pl.ds(cb * CB, CB),
-                   pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)].astype(cd)
-        accs = [jnp.zeros((CB, p.BLK), cd) for _ in range(p.K)]
+                   pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
+        accs = [jnp.zeros((CB, p.BLK), jnp.float32) for _ in range(p.K)]
         for idx, delta, k, dyvec in fps:
             xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-            accs[k] = accs[k] + cp_ref[idx, :][None, :].astype(cd) * xs
+            accs[k] = accs[k] + cp_ref[idx, :][None, :] * xs
         for k in range(p.K):
             acc2_ref[pl.ds(k * p.Cg + cb * CB, CB), :] = \
                 accs[k].astype(jnp.float32)
