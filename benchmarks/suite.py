@@ -141,11 +141,20 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "suite_results.json")
-    if args.only and os.path.exists(out):
-        # filtered runs merge into the existing results
+    if (args.only or args.impls != "xla,pallas") and os.path.exists(out):
+        # filtered runs merge per-impl into the existing results, so a
+        # pallas-only rerun keeps the recorded XLA baselines
         with open(out) as f:
             prev = json.load(f)
-        prev.get("cases", {}).update(results["cases"])
+        for name, row in results["cases"].items():
+            prow = prev.setdefault("cases", {}).setdefault(name, {})
+            prow.update(row)
+            if "xla" in prow and "pallas" in prow \
+                    and "error" not in prow["xla"] \
+                    and "error" not in prow["pallas"]:
+                prow["speedup_fwdbwd"] = round(
+                    prow["xla"]["fwdbwd_ms"] / prow["pallas"]["fwdbwd_ms"],
+                    2)
         prev["device"] = results["device"]
         results = prev
     with open(out, "w") as f:

@@ -492,6 +492,12 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
         xw = x_ref[0, 0, :, pl.ds(base, wide)].astype(cd)
         for k in range(p.K):
             a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]         # (1, BLK)
+            if p.modulated:
+                # Fold the mask into the lead coefficient row once per
+                # (dz, tap): the accumulated columns come out MASKED
+                # (mdeformable_conv.cu:83), matching the unrolled path's
+                # residual contract.
+                a0 = a0 * cf_ref[0, 0, p.cmask, k, :][None, :]
             off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
             for rows, inner in _inner_combos(p, k):
                 c = a0
@@ -508,10 +514,6 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
             acc_ref[:, pl.ds(k * p.BLK, p.BLK)]
     if save_cols:
         cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
-    if p.modulated:
-        for k in range(p.K):
-            m = cf_ref[0, 0, p.cmask, k, :].astype(acc2_ref.dtype)
-            acc2_ref[pl.ds(k * p.Cg, p.Cg), :] *= m[None, :]
     w2 = w2_ref[0].astype(cd)
     out_ref[0, 0, 0] = jax.lax.dot_general(
         w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
@@ -585,8 +587,8 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                               lambda b, d, t: (b, d, t, 0, 0),
                               memory_space=pltpu.VMEM)]
     if save_cols:
-        # Loop path saves PRE-mask columns (its backward computes
-        # grad_mask from them, mirroring mdeformable_conv.cu:315).
+        # MASKED columns residual (feeds the backward's grad_weight dot;
+        # grad_mask uses the r0_nm identity, so no unmasked copy needed).
         out_shapes.append(jax.ShapeDtypeStruct(
             (p.B, p.dg, p.NT, p.K * p.Cg, p.BLK), _cols_dtype(precision)))
         out_specs.append(pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
@@ -776,12 +778,24 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
 
 def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
                      plan: SBPlan, prec, cd, has_cols: bool):
-    """Rolled-loop backward (large windows / 3D): same math as
-    _bwd_kernel with the leading window axis in a fori_loop.  When the
-    columns residual was too large to save, they are recomputed in-kernel
-    first — the reference's recompute tradeoff (deformable_conv.cu:285).
+    """Rolled-loop backward (large windows / 3D): same math as the
+    unrolled _bwd_kernel with the leading window axis in a fori_loop.
+
+    r2 rework mirrors the unrolled path's measured wins:
+      * grad_x contributions are grouped by (lead-row, inner shift) and
+        accumulated in registers before each gwin RMW — ungrouped
+        per-combo RMWs on overlapping windows were ~19ms/step on cfg3
+        (the compiler cannot registerize overlapping slices);
+      * offset/mask gradient rows ride the fori_loop carry in registers
+        (no per-combo (BLK,)-row read-modify-writes);
+      * grad_mask = sum ab_nm * r0_nm (== sum_c gcol*colnm,
+        mdeformable_conv.cu:315 — exact at mask == 0);
+      * grad_weight is ONE MXU dot against the MASKED columns
+        (deformable_conv.cu:404-406, mdeformable_conv.cu:316), which are
+        recomputed in-kernel when the residual was too large to save —
+        the reference's recompute tradeoff (deformable_conv.cu:285).
     All dynamic window loads/stores are 128-aligned; inner shifts are
-    static slices (reads) or static-slice RMWs on the gwin scratch."""
+    static slices."""
     p = plan
     if has_cols:
         (cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
@@ -804,9 +818,18 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
-    if not has_cols:
-        colacc_ref[...] = jnp.zeros_like(colacc_ref)
+    gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
+    gcols_ref[...] = jax.lax.dot_general(
+        w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
 
+    if has_cols:
+        gw_ref[0] += jax.lax.dot_general(
+            gout, cols_ref[0, 0, 0].astype(cd), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+    else:
+        # Recompute the MASKED columns (same loop as the forward).
+        colacc_ref[...] = jnp.zeros_like(colacc_ref)
         widec = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
 
         def colbody(dz, carry):
@@ -815,6 +838,8 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             xw = x_ref[0, 0, :, pl.ds(base, widec)]
             for k in range(p.K):
                 a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
+                if p.modulated:
+                    a0 = a0 * cf_ref[0, 0, p.cmask, k, :][None, :]
                 off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
                 for rows, inner in _inner_combos(p, k):
                     c = a0
@@ -825,73 +850,85 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             return carry
 
         jax.lax.fori_loop(0, p.W[0], colbody, 0)
-
-    gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
-    gcols_ref[...] = jax.lax.dot_general(
-        w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)
-
-    for k in range(p.K):
-        sl = pl.ds(k * p.Cg, p.Cg)
-        if has_cols:
-            colnm = cols_ref[0, 0, 0, sl, :].astype(jnp.float32)
-        else:
-            colnm = colacc_ref[sl, :]
-        gcol = gcols_ref[sl, :]
-        gs_ref[0, 0, 0, k, p.nd, :] = jnp.sum(gcol * colnm, axis=0,
-                                              keepdims=True)[0]
-        if p.modulated:
-            m = cf_ref[0, 0, p.cmask, k, :]
-            col = colnm * m[None, :]
-            gcols_ref[sl, :] = gcol * m[None, :]
-        else:
-            col = colnm
-        gw_ref[0, :, sl] += jax.lax.dot_general(
-            gout, col.astype(cd), (((1,), (1,)), ((), ())),
+        gw_ref[0] += jax.lax.dot_general(
+            gout, colacc_ref[...].astype(cd), (((1,), (1,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
-        for r in range(p.nd):
-            gs_ref[0, 0, 0, k, r, :] = jnp.zeros((p.BLK,), jnp.float32)
 
-    wideb = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
+    # Static grouping of taps by leading anchor tb0 and, within a group,
+    # of (tap, inner-combo) by the inner flat shift: contributions that
+    # land on the same gwin lanes sum in registers before ONE RMW.
+    lead_groups = {}
+    for k in range(p.K):
+        lead_groups.setdefault(p.tap_base[k][0], {})
+        inner_map = lead_groups[p.tap_base[k][0]]
+        for rows, inner in _inner_combos(p, k):
+            inner_map.setdefault(inner, []).append((k, rows))
 
+    # Sweep 1 (fori over the lead window): grad_x.
     def body(dz, carry):
-        wbase = (t * p.BLK + p.RPAD - p.IPAD
-                 + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
-        xww = x_ref[0, 0, :, pl.ds(wbase, wideb)]
-        for k in range(p.K):
-            a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
-            da0 = dwr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
-            lead = (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0
-            off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
-            gcoln = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
+        for g0, inner_map in lead_groups.items():
             gwin_ref[...] = jnp.zeros_like(gwin_ref)
-            for rows, inner in _inner_combos(p, k):
-                arest = None
-                for r in rows:
-                    rr = wr_ref[r, k, :][None, :]
-                    arest = rr if arest is None else arest * rr
-                ab = a0 * arest
-                xs = xww[:, off_k + inner:off_k + inner + p.BLK]
-                gwin_ref[:, p.IPAD + inner:p.IPAD + inner + p.BLK] += \
-                    ab * gcoln
-                r0 = jnp.sum(gcoln * xs, axis=0, keepdims=True)
-                # leading-axis offset grad
-                gs_ref[0, 0, 0, k, 0, :] += (da0 * arest * r0)[0]
-                # inner-axis offset grads: substitute the derivative row
-                for d in range(p.nd - 1):
-                    q = a0
-                    for e, r in enumerate(rows):
-                        rr = (dwr_ref if e == d else wr_ref)[r, k, :][None, :]
-                        q = q * rr
-                    gs_ref[0, 0, 0, k, 1 + d, :] += (q * r0)[0]
-            # Scatter the tap's window straight into the resident grad_x
-            # plane (aligned dynamic offset; the grid is sequential so
-            # accumulation is race-free and deterministic).
-            gx_ref[0, 0, :, pl.ds(t * p.BLK + p.RPAD - p.IPAD + lead,
-                                  p.BLK + 2 * p.IPAD)] += gwin_ref[...]
+            for inner, lst in sorted(inner_map.items()):
+                tmp = None
+                for k, rows in lst:
+                    cm = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
+                    if p.modulated:
+                        cm = cm * cf_ref[0, 0, p.cmask, k, :][None, :]
+                    for r in rows:
+                        cm = cm * wr_ref[r, k, :][None, :]
+                    contrib = cm * gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
+                    tmp = contrib if tmp is None else tmp + contrib
+                gwin_ref[:, p.IPAD + inner:p.IPAD + inner + p.BLK] += tmp
+            base = (t * p.BLK + p.RPAD - p.IPAD
+                    + (g0 + p.lo[0]) * qs0 + dz * qs0)
+            gx_ref[0, 0, :, pl.ds(base, p.BLK + 2 * p.IPAD)] += \
+                gwin_ref[...]
         return carry
 
     jax.lax.fori_loop(0, p.W[0], body, 0)
+
+    # Sweep 2 (tap-major, fori over the lead window with the gradient
+    # rows in the loop carry): offset/mask gradients.
+    gs_ref[...] = jnp.zeros_like(gs_ref)
+    for k in range(p.K):
+        gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
+        mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
+        off_base = p.IPAD
+
+        def body2(dz, rows_carry, k=k, gcol=gcol, mrow=mrow):
+            base = (t * p.BLK + p.RPAD - p.IPAD
+                    + (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0)
+            xw = x_ref[0, 0, :, pl.ds(base, p.BLK + 2 * p.IPAD)]
+            a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :][0]
+            da0 = dwr_ref[pl.ds(p.row0[0] + dz, 1), k, :][0]
+            goff = list(rows_carry[:p.nd])
+            gm = rows_carry[p.nd]
+            for rows, inner in _inner_combos(p, k):
+                xs = xw[:, off_base + inner:off_base + inner + p.BLK]
+                r0nm = jnp.sum(gcol * xs, axis=0, keepdims=True)[0]
+                r0m = r0nm * mrow if p.modulated else r0nm
+                arest = None
+                for r in rows:
+                    rr = wr_ref[r, k, :]
+                    arest = rr if arest is None else arest * rr
+                goff[0] = goff[0] + da0 * arest * r0m
+                for d, rd in enumerate(rows):
+                    q = a0
+                    for e, r in enumerate(rows):
+                        rr = (dwr_ref if e == d else wr_ref)[r, k, :]
+                        q = q * rr
+                    goff[1 + d] = goff[1 + d] + q * r0m
+                if p.modulated:
+                    gm = gm + a0 * arest * r0nm
+            return tuple(goff) + (gm,)
+
+        init = tuple(jnp.zeros((p.BLK,), jnp.float32)
+                     for _ in range(p.nd + 1))
+        rows_out = jax.lax.fori_loop(0, p.W[0], body2, init)
+        for d in range(p.nd):
+            gs_ref[0, 0, 0, k, d, :] = rows_out[d]
+        if p.modulated:
+            gs_ref[0, 0, 0, k, p.nd, :] = rows_out[p.nd]
 
 
 def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,

@@ -211,3 +211,31 @@ def test_offsets_within_bound_validator():
     assert bool(sb.offsets_within_bound(off3, (2.0, 1.0)))
     off4 = off.at[0, 1, 1, 1].set(1.8)      # w-offset
     assert not bool(sb.offsets_within_bound(off4, (2.0, 1.0)))
+
+
+def test_grad_mask_exact_at_zero_mask():
+    """grad_mask must equal sum_c grad_col * UNMASKED sampled value even
+    where mask == 0 (reference mdeformable_conv.cu:315; the kernels save
+    MASKED columns, so grad_mask comes from the r0_nm identity instead —
+    this pins that it stays correct when entire mask rows are zero)."""
+    spec, x, off, m, w = _inputs(2, 1, 16, (8, 8), 3, 1, 1, True, 1.7)
+    m = m.at[0, 2].set(0.0)            # whole tap's mask plane zero
+    m = m.at[0, :, 3, 4].set(0.0)      # one output position, all taps
+
+    def loss_sb(m):
+        out = sb.shift_conv(x, off, m, w, jnp.float32(0), spec,
+                            "float32", 2.0)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(m):
+        out = core.deform_conv_nd(x, off, m, w, None, spec)
+        return jnp.sum(jnp.sin(out))
+
+    gm_sb = jax.grad(loss_sb)(m)
+    gm_ref = jax.grad(loss_ref)(m)
+    # Nonzero gradient at the zeroed-mask entries (the whole point).
+    assert float(jnp.max(jnp.abs(gm_ref[0, 2]))) > 1e-3
+    scale = float(jnp.max(jnp.abs(gm_ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(gm_sb) / scale,
+                               np.asarray(gm_ref) / scale,
+                               rtol=0, atol=3e-6)
