@@ -106,6 +106,18 @@ def _run_all(report=print):
     # stride-2: gathermm only (shiftblend is stride-1 by design)
     case("2d_mod_stride2_viaK5", "modulated_deform_conv2d", 2, 1, 16, 16,
          (17, 17), 5, 1, 1, True, 1, [("pallas", {})], offscale=1.5)
+    # Leading-axis chunked mode (the cfg4-style path): force it by
+    # shrinking the VMEM residency budget so _choose_lead splits the
+    # volume into halo-extended blocks on real TPU.
+    from modulated_deform_conv_tpu.ops.pallas import shiftblend as _sb
+    saved = _sb._X_RESIDENT_BUDGET
+    _sb._X_RESIDENT_BUDGET = 1 * 1024 * 1024
+    try:
+        case("3d_mod_leadchunk", "modulated_deform_conv3d", 3, 1, 16, 16,
+             (8, 8, 16), 3, 1, 1, True, 1,
+             [("shiftblend", {"offset_bound": 2.0})])
+    finally:
+        _sb._X_RESIDENT_BUDGET = saved
     return failures
 
 
