@@ -445,8 +445,8 @@ def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
             acc2_ref[pl.ds(k * p.Cg + cb * CB, CB), :] = \
                 accs[k].astype(jnp.float32)
 
-    cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
-    out_ref[0, 0, 0] = jax.lax.dot_general(
+    cols_ref[0, 0] = acc2_ref[...].astype(cols_ref.dtype)
+    out_ref[0, 0] = jax.lax.dot_general(
         w2_ref[0].astype(cd), acc2_ref[...].astype(cd),
         (((1,), (0,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
@@ -513,9 +513,9 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
         acc2_ref[pl.ds(k * p.Cg, p.Cg), :] = \
             acc_ref[:, pl.ds(k * p.BLK, p.BLK)]
     if save_cols:
-        cols_ref[0, 0, 0] = acc2_ref[...].astype(cols_ref.dtype)
+        cols_ref[0, 0] = acc2_ref[...].astype(cols_ref.dtype)
     w2 = w2_ref[0].astype(cd)
-    out_ref[0, 0, 0] = jax.lax.dot_general(
+    out_ref[0, 0] = jax.lax.dot_general(
         w2, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
 
@@ -553,11 +553,11 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, 1, Og, p.BLK),
-                             lambda b, d, t: (b, d, t, 0, 0),
+                pl.BlockSpec((1, 1, Og, p.BLK),
+                             lambda b, d, t: (b, d, 0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
-                             lambda b, d, t: (b, d, t, 0, 0),
+                pl.BlockSpec((1, 1, p.K * p.Cg, p.BLK),
+                             lambda b, d, t: (b, d, 0, t),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -570,9 +570,9 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
             functools.partial(_fwd_kernel_cols, plan=p, prec=prec, cd=cd),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((p.B, p.dg, p.NT, Og, p.BLK),
+                jax.ShapeDtypeStruct((p.B, p.dg, Og, p.PPAD),
                                      jnp.float32),
-                jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K * p.Cg, p.BLK),
+                jax.ShapeDtypeStruct((p.B, p.dg, p.K * p.Cg, p.PPAD),
                                      _cols_dtype(precision)),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -581,18 +581,18 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
         )(cf, co, xr, w2)
         return out[0], out[1]
 
-    out_shapes = [jax.ShapeDtypeStruct((p.B, p.dg, p.NT, Og, p.BLK),
+    out_shapes = [jax.ShapeDtypeStruct((p.B, p.dg, Og, p.PPAD),
                                        jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1, 1, Og, p.BLK),
-                              lambda b, d, t: (b, d, t, 0, 0),
+    out_specs = [pl.BlockSpec((1, 1, Og, p.BLK),
+                              lambda b, d, t: (b, d, 0, t),
                               memory_space=pltpu.VMEM)]
     if save_cols:
         # MASKED columns residual (feeds the backward's grad_weight dot;
         # grad_mask uses the r0_nm identity, so no unmasked copy needed).
         out_shapes.append(jax.ShapeDtypeStruct(
-            (p.B, p.dg, p.NT, p.K * p.Cg, p.BLK), _cols_dtype(precision)))
-        out_specs.append(pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
-                                      lambda b, d, t: (b, d, t, 0, 0),
+            (p.B, p.dg, p.K * p.Cg, p.PPAD), _cols_dtype(precision)))
+        out_specs.append(pl.BlockSpec((1, 1, p.K * p.Cg, p.BLK),
+                                      lambda b, d, t: (b, d, 0, t),
                                       memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NT),
@@ -631,22 +631,21 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
 
 def _cols_matmul(cols, w2, plan: SBPlan, Og: int, precision: str):
     """Grouped GEMM over the kernel's masked columns in XLA (reference
-    deformable_conv.cu:174-180): (dg, Og, K*Cg) x (B, dg, NT, K*Cg, BLK)
-    -> (B, dg, NT, Og, BLK) partials for _finish_out."""
+    deformable_conv.cu:174-180): (dg, Og, K*Cg) x (B, dg, K*Cg, PPAD)
+    -> (B, dg, Og, PPAD) partials for _finish_out."""
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
     lhs = w2.astype(cols.dtype)
-    return jnp.einsum("dok,bdtkl->bdtol", lhs, cols, precision=prec,
+    return jnp.einsum("dok,bdkp->bdop", lhs, cols, precision=prec,
                       preferred_element_type=jnp.float32)
 
 
 def _finish_out(outp, plan: SBPlan, O: int, groups: int, bias, out_dtype):
-    """(B, dg, NT, Og, BLK) partials -> (B, O, *OS) with group reduction."""
+    """(B, dg, Og, PPAD) partials -> (B, O, *OS) with group reduction."""
     p = plan
     g = groups
     Og = O // g
-    out = outp.transpose(0, 1, 3, 2, 4).reshape(p.B, p.dg, Og, p.PPAD)
-    out = out[..., :p.P]
+    out = outp[..., :p.P]
     out = out.reshape(p.B, g, p.dg // g, Og, p.P).sum(axis=2)
     out = out.reshape(p.B, O, p.P)
     if bias is not None:
@@ -718,7 +717,7 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
         w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
     gw_ref[0] += jax.lax.dot_general(
-        gout, cols_ref[0, 0, 0].astype(cd), (((1,), (1,)), ((), ())),
+        gout, cols_ref[0, 0].astype(cd), (((1,), (1,)), ((), ())),
         precision=prec, preferred_element_type=jnp.float32)
 
     # Sweep 1 (delta-major): grad_x.  The mask rides in the per-pair
@@ -771,9 +770,9 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
                     ab = ab * arows[d]
                 gm = gm + ab * r0nm
         for d in range(p.nd):
-            gs_ref[0, 0, 0, k, d, :] = goff[d]
+            gs_ref[0, 0, k, d, :] = goff[d]
         if p.modulated:
-            gs_ref[0, 0, 0, k, p.nd, :] = gm
+            gs_ref[0, 0, k, p.nd, :] = gm
 
 
 def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
@@ -825,7 +824,7 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
 
     if has_cols:
         gw_ref[0] += jax.lax.dot_general(
-            gout, cols_ref[0, 0, 0].astype(cd), (((1,), (1,)), ((), ())),
+            gout, cols_ref[0, 0].astype(cd), (((1,), (1,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
     else:
         # Recompute the MASKED columns (same loop as the forward).
@@ -926,9 +925,9 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
                      for _ in range(p.nd + 1))
         rows_out = jax.lax.fori_loop(0, p.W[0], body2, init)
         for d in range(p.nd):
-            gs_ref[0, 0, 0, k, d, :] = rows_out[d]
+            gs_ref[0, 0, k, d, :] = rows_out[d]
         if p.modulated:
-            gs_ref[0, 0, 0, k, p.nd, :] = rows_out[p.nd]
+            gs_ref[0, 0, k, p.nd, :] = rows_out[p.nd]
 
 
 def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
@@ -960,15 +959,15 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
             pl.BlockSpec((1, 1, Og, p.BLK),
                          lambda d, b, t: (b, d // spg, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
-                         lambda d, b, t: (b, d, t, 0, 0),
+            pl.BlockSpec((1, 1, p.K * p.Cg, p.BLK),
+                         lambda d, b, t: (b, d, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, p.Cg, p.QPAD), lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p.K, NRS, p.BLK),
-                         lambda d, b, t: (b, d, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, p.K, NRS, p.BLK),
+                         lambda d, b, t: (b, d, 0, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Og, p.K * p.Cg), lambda d, b, t: (d, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -985,7 +984,7 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
-            jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K, NRS, p.BLK),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.K, NRS, p.PPAD),
                                  jnp.float32),
             jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
@@ -1025,8 +1024,8 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
     ]
     if cols is not None:
         in_specs.append(
-            pl.BlockSpec((1, 1, 1, p.K * p.Cg, p.BLK),
-                         lambda d, b, t: (b, d, t, 0, 0),
+            pl.BlockSpec((1, 1, p.K * p.Cg, p.BLK),
+                         lambda d, b, t: (b, d, 0, t),
                          memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(p.dg, p.B, p.NT),
@@ -1035,8 +1034,8 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
             pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                          lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p.K, NRS, p.BLK),
-                         lambda d, b, t: (b, d, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, p.K, NRS, p.BLK),
+                         lambda d, b, t: (b, d, 0, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Og, p.K * p.Cg),
                          lambda d, b, t: (d, 0, 0),
@@ -1059,7 +1058,7 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
-            jax.ShapeDtypeStruct((p.B, p.dg, p.NT, p.K, NRS, p.BLK),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.K, NRS, p.PPAD),
                                  jnp.float32),
             jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
@@ -1159,9 +1158,7 @@ def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
     gx = gxp[:, :, :, left:left + flat].reshape((p.B, p.C) + p.S)
     gx = gx.astype(x.dtype)
 
-    # gs (B, dg, NT, K, 8, BLK) -> (B, dg, K, r, P)
-    gs = gs.transpose(0, 1, 3, 4, 2, 5).reshape(
-        p.B, p.dg, p.K, 8, p.PPAD)[..., :p.P]
+    gs = gs[..., :p.P]                             # (B, dg, K, 8, P)
     goff = gs[:, :, :, :p.nd]                      # (B, dg, K, nd, P)
     goff = goff.reshape(offset.shape).astype(offset.dtype)
     if mask is not None and mask.size:
