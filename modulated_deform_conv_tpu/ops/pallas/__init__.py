@@ -15,12 +15,13 @@ from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 
 def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
-    """Measured dispatch policy (v5e, benchmarks r2): shift-blend wins
-    across 2D (cfg1 4.3x, cfg2 1.2x fwd+bwd) for narrow channel slabs
-    and across 3D (cfg3 1.2x with the shared-window rolled loop; cfg4 is
-    shift-blend-only); the structured-sparse MXU kernel wins for wide
-    channel slabs (C/dg > 128, cfg5 shapes), which amortize its window
-    sweep on the MXU."""
+    """Measured dispatch policy (v5e, benchmarks/suite_results.json r2):
+    shift-blend wins across 2D (cfg1 ~15x-over-XLA, cfg2 25x) for narrow
+    channel slabs and across 3D (cfg3 7.4x; cfg4 is shift-blend-only via
+    leading-axis chunking); the structured-sparse MXU kernel (gathermm)
+    wins for wide channel slabs (C/dg > 128, cfg5 shapes), which
+    amortize its window sweep on the MXU — and the register sweep is a
+    compile bomb past C/dg ~256 anyway (see SBPlan.ineligible_reason)."""
     Cg = x.shape[1] // spec.deformable_groups
     return Cg <= 128
 

@@ -224,6 +224,13 @@ class SBPlan:
             return "shiftblend requires size-preserving padding (OS == S)"
         if self.Cg % 8:
             return "channels per deformable group must be a multiple of 8"
+        if self.Cg > 256:
+            # The register sweep unrolls Cg/8 channel blocks x n_pairs
+            # FMAs; beyond ~256 channels/slab the kernel is a compile
+            # bomb (observed toolchain crashes at Cg >= 1024) and the
+            # MXU formulation (gathermm) wins there anyway.
+            return ("channel slab too wide for the register sweep "
+                    "(C/deformable_groups > 256; use the gathermm path)")
         if self.dg % spec.groups:
             return "deformable_groups must be a multiple of groups"
         if 2 * self.x_resident_bytes(4) > _X_RESIDENT_BUDGET:
