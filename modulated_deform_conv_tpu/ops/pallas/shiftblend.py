@@ -52,15 +52,16 @@ _VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
 
-# Unrolled-path division of labor (r2 rework, from measured ablations):
-# the Pallas kernels are VPU-only — the forward emits the masked column
-# matrix as its output and the grouped GEMM (reference
-# deformable_conv.cu:163-180) runs as an XLA einsum over it, because an
-# MXU dot at the end of a VPU kernel body serializes against the sweep
-# (~0.7ms/step on cfg2) while XLA pipelines the same GEMM against HBM.
-# Likewise the backward accumulates per-pair offset/mask gradient rows in
-# registers (tap-major) instead of (BLK,)-row VMEM read-modify-writes,
-# which dominated the old backward (~2ms/step of RMW latency).
+# r2 rework, from measured ablations (full account in
+# benchmarks/ANALYSIS.md §3): the mask folds into the per-pair
+# coefficient rows so the columns residual is post-mask; the backward
+# accumulates offset/mask gradient rows in registers (tap-major) instead
+# of (BLK,)-row VMEM read-modify-writes (which dominated the old
+# backward, ~2ms/step of RMW latency on cfg2) and computes grad_mask via
+# the r0_nm identity; MXU dots sit at the HEAD of kernel bodies where
+# their latency hides under input-DMA waits (an end-of-body dot
+# serializes against the sweep, and XLA-side einsums pay an HBM round
+# trip for their operands — both measured slower).
 
 
 def _interpret() -> bool:

@@ -239,3 +239,32 @@ def test_grad_mask_exact_at_zero_mask():
     np.testing.assert_allclose(np.asarray(gm_sb) / scale,
                                np.asarray(gm_ref) / scale,
                                rtol=0, atol=3e-6)
+
+
+def test_per_axis_offset_bound():
+    """Tuple offset_bound: independent windows per axis (W = 2b+1 at
+    integer bounds); grads and outputs match the oracle when offsets
+    respect the per-axis contract."""
+    spec, x, off, m, w = _inputs(2, 1, 16, (9, 10), 3, 1, 1, True, 1.0)
+    # h-offsets up to +-1.9, w-offsets up to +-0.9
+    off = off.at[:, 0::2].mul(1.9)
+    off = off.at[:, 1::2].mul(0.9)
+
+    def loss_sb(x, off, m, w):
+        out = sb.shift_conv(x, off, m, w, jnp.float32(0), spec,
+                            "float32", (2.0, 1.0))
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(x, off, m, w):
+        out = core.deform_conv_nd(x, off, m, w, None, spec)
+        return jnp.sum(jnp.sin(out))
+
+    plan = sb.SBPlan(spec, 1, 16, (9, 10), (9, 10), (2.0, 1.0))
+    assert plan.W == (5, 3)      # integer bounds: 2b+1 rows per axis
+    gs = jax.grad(loss_sb, argnums=(0, 1, 2, 3))(x, off, m, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, m, w)
+    for name, a, b in zip(("gx", "goff", "gmask", "gw"), gs, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6, err_msg=name)
