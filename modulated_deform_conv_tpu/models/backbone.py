@@ -126,3 +126,81 @@ class DCNResNet(nn.Module):
             return tuple(feats)
         y = jnp.mean(y, axis=(2, 3))
         return nn.Dense(self.num_classes, name="fc")(y)
+
+
+class ConvBN3d(nn.Module):
+    """1x1x1 or 3x3x3 conv + GroupNorm + optional ReLU (NCTHW)."""
+    out_channels: int
+    kernel: int = 1
+    stride: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2
+        y = nn.Conv(self.out_channels, (self.kernel,) * 3,
+                    strides=(self.stride,) * 3,
+                    padding=pad, use_bias=False)(jnp.moveaxis(x, 1, -1))
+        y = nn.GroupNorm(num_groups=min(32, self.out_channels))(y)
+        if self.relu:
+            y = jax.nn.relu(y)
+        return jnp.moveaxis(y, -1, 1)
+
+
+class DCN3dBottleneck(nn.Module):
+    """3D bottleneck with the 3x3x3 conv replaced by modulated 3D DCN Pack
+    (the video analog of DCNBottleneck; reference op
+    mdeformable_conv3d.cu:54-127 in the Pack composition of
+    modulated_deform_conv.py:811-839)."""
+    channels: int
+    out_channels: int
+    deformable_groups: int = 1
+    deformable: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from .modules import ModulatedDeformConv3dPack
+        identity = x
+        y = ConvBN3d(self.channels, kernel=1)(x)
+        if self.deformable:
+            y = ModulatedDeformConv3dPack(
+                in_channels=self.channels, out_channels=self.channels,
+                kernel_size=3, stride=1, padding=1,
+                deformable_groups=self.deformable_groups,
+                zero_init_offset=True, sigmoid_mask=True, name="dcn")(y)
+        else:
+            y = ConvBN3d(self.channels, kernel=3, name="conv2")(y)
+        y = jax.nn.relu(y)
+        y = ConvBN3d(self.out_channels, kernel=1, relu=False)(y)
+        if x.shape[1] != self.out_channels:
+            identity = ConvBN3d(self.out_channels, kernel=1, relu=False,
+                                name="proj")(x)
+        return jax.nn.relu(y + identity)
+
+
+class DCNVideoNet(nn.Module):
+    """Small video-classification backbone with deformable 3D convs —
+    the model-family exercise of the 3D op pair (BASELINE configs 3-4
+    shapes).  NCTHW in (T = frames), class logits out."""
+    num_classes: int = 400
+    width: int = 32
+    blocks: Sequence[int] = (1, 1, 1)
+    deformable_groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.width
+        y = ConvBN3d(w, kernel=3, stride=1, name="stem")(x)
+        for i, n in enumerate(self.blocks):
+            for j in range(n):
+                y = DCN3dBottleneck(
+                    channels=w * 2 ** i, out_channels=w * 2 * 2 ** i,
+                    deformable_groups=self.deformable_groups,
+                    deformable=(i >= 1),     # DCN in the deeper stages
+                    name=f"s{i}b{j}")(y)
+            if i < len(self.blocks) - 1:
+                y = jnp.moveaxis(nn.max_pool(
+                    jnp.moveaxis(y, 1, -1), (1, 2, 2), strides=(1, 2, 2)),
+                    -1, 1)
+        y = jnp.mean(y, axis=(2, 3, 4))
+        return nn.Dense(self.num_classes, name="fc")(y)

@@ -166,3 +166,23 @@ def test_dcn_resnet_forward_and_grad():
         num_classes=10, depth=50, width=8,
         features_only=True).apply(p, x))(params, x)
     assert len(feats) == 4 and feats[-1].shape[2] == 1
+
+
+def test_dcn_video_net():
+    """3D model family: init + forward + grads through the deformable 3D
+    Pack blocks (NCTHW)."""
+    from modulated_deform_conv_tpu.models import DCNVideoNet
+    model = DCNVideoNet(num_classes=5, width=8, blocks=(1, 1),
+                        deformable_groups=1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 3, 4, 8, 8)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 5)
+    # a deformable 3D Pack block exists with predictor convs
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("dcn" in n and "conv_offset" in n for n in names), names
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
