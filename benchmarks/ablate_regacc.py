@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Component ablation of the production (regacc) forward kernel and the
+"""
+NOTE: r2 experiment snapshot — pins kernel/layout details as they were
+when the experiment ran; the production kernels in shiftblend.py have
+since evolved (see benchmarks/ANALYSIS.md for the findings ledger).
+Component ablation of the production (regacc) forward kernel and the
 unrolled backward kernel on BASELINE config 2.
 
 Each variant disables parts of the kernel so the chain-amortized deltas

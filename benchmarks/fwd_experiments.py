@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Forward-kernel experiments on BASELINE config 2: GEMM dtype, tap-major
+"""
+NOTE: r2 experiment snapshot — pins kernel/layout details as they were
+when the experiment ran; the production kernels in shiftblend.py have
+since evolved (see benchmarks/ANALYSIS.md for the findings ledger).
+Forward-kernel experiments on BASELINE config 2: GEMM dtype, tap-major
 structure (per-tap GEMM overlapping the next tap's sweep), block size.
 
 Usage: python benchmarks/fwd_experiments.py

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Probes for the v3 kernels on cfg2:
+"""
+NOTE: r2 experiment snapshot — pins kernel/layout details as they were
+when the experiment ran; the production kernels in shiftblend.py have
+since evolved (see benchmarks/ANALYSIS.md for the findings ledger).
+Probes for the v3 kernels on cfg2:
   fwd: cols dtype f32 vs bf16, store chunk 8 vs 16 sublanes, no-mask-fold
   bwd: sweep2 via u-blend (reduces per tap, not per pair) vs per-pair r0
 """
