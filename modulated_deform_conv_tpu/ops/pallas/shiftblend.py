@@ -168,12 +168,6 @@ class SBPlan:
         self.tb0_min = min(tb[0] for tb in self.tap_base)
         self.tb0_span = max(tb[0] for tb in self.tap_base) - self.tb0_min
 
-        # Output-lane blocking.
-        self.BLK = min(512, _round_up(self.P, 128))
-        self.PPAD = _round_up(self.P, self.BLK)
-        self.NT = self.PPAD // self.BLK
-        self.QPAD = self.PPAD + 2 * self.RPAD
-
         # Fully unrolled kernels compile fast up to a few hundred
         # (tap, window) pairs; beyond that (3D windows) the kernels roll
         # the leading window axis into a fori_loop with 128-aligned
@@ -181,6 +175,17 @@ class SBPlan:
         self.n_pairs = self.K * math.prod(self.W)
         self.loopable = nd >= 3 and self.qstride[0] % 128 == 0
         self.unrolled = self.n_pairs <= 640 or not self.loopable
+
+        # Output-lane blocking.  The rolled-loop path takes 1024-lane
+        # blocks (its accumulator is a VMEM scratch, and bigger blocks
+        # amortize the per-(dz, tap) window halo: cfg3 +8% measured);
+        # the unrolled path keeps 512 so the per-tap register
+        # accumulators fit the register file.
+        cap = 512 if self.unrolled else 1024
+        self.BLK = min(cap, _round_up(self.P, 128))
+        self.PPAD = _round_up(self.P, self.BLK)
+        self.NT = self.PPAD // self.BLK
+        self.QPAD = self.PPAD + 2 * self.RPAD
 
         # Compact coefficient rows (cf layout (B, dg, NRC, K, PPAD)): the
         # per-axis integer corner anchor `rel` and fraction `fr`, the

@@ -172,6 +172,7 @@ def test_group_aligned_tp_matches(mesh_shape, axes):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_within_group_tp_matches_with_grads():
     """Within-group TP (groups=1): weight/output shard along O, inputs are
     replicated on the axis; grad_x/grad_offset/grad_mask psum across it."""
@@ -232,6 +233,7 @@ def test_spatial_misalignment_raises():
                                         deformable_groups=2)
 
 
+@pytest.mark.slow
 def test_spatial_shiftblend_lead_matches():
     """The bounded-offset shift-blend kernel inside spatial shards (lead
     mode: halo-extended blocks, global-coordinate gates, traced origin)
