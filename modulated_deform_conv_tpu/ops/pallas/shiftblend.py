@@ -177,11 +177,13 @@ class SBPlan:
         self.unrolled = self.n_pairs <= 640 or not self.loopable
 
         # Output-lane blocking.  The rolled-loop path takes 1024-lane
-        # blocks (its accumulator is a VMEM scratch, and bigger blocks
-        # amortize the per-(dz, tap) window halo: cfg3 +8% measured);
-        # the unrolled path keeps 512 so the per-tap register
-        # accumulators fit the register file.
-        cap = 512 if self.unrolled else 1024
+        # blocks for narrow slabs (its accumulator is a VMEM scratch,
+        # and bigger blocks amortize the per-(dz, tap) window halo:
+        # cfg3 +8% measured); at Cg > 64 the wider body crashes the
+        # remote TPU compiler (observed on cfg4), and the unrolled path
+        # keeps 512 so the per-tap register accumulators fit the
+        # register file.
+        cap = 1024 if (not self.unrolled and self.Cg <= 64) else 512
         self.BLK = min(cap, _round_up(self.P, 128))
         self.PPAD = _round_up(self.P, self.BLK)
         self.NT = self.PPAD // self.BLK
