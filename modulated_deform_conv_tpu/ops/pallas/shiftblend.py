@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.config import DeformConvSpec, ntuple
+from ...utils.config import DeformConvSpec
 
 _VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
 _X_RESIDENT_BUDGET = 48 * 1024 * 1024
@@ -647,7 +647,9 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
 def _cols_matmul(cols, w2, plan: SBPlan, Og: int, precision: str):
     """Grouped GEMM over the kernel's masked columns in XLA (reference
     deformable_conv.cu:174-180): (dg, Og, K*Cg) x (B, dg, K*Cg, PPAD)
-    -> (B, dg, Og, PPAD) partials for _finish_out."""
+    -> (B, dg, Og, PPAD) partials for _finish_out.  The production
+    kernels fuse this dot (measured faster; ANALYSIS.md §3) — kept for
+    benchmarking the split variant."""
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
     lhs = w2.astype(cols.dtype)
@@ -679,9 +681,7 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
     cf, co = _coef_prep(offset, m, spec, plan)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
-    outp, cols = _fwd_call(xr, cf, co, w2, plan, Og, precision)
-    if outp is None:
-        outp = _cols_matmul(cols, w2, plan, Og, precision)
+    outp, _ = _fwd_call(xr, cf, co, w2, plan, Og, precision)
     return _finish_out(outp, plan, O, spec.groups, bias, x.dtype)
 
 
@@ -1129,8 +1129,6 @@ def _shift_conv_impl(x, offset, mask, weight, origin, spec, precision,
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
     outp, cols = _fwd_call(xr, cf, co, w2, plan, Og, precision,
                            save_cols=save_cols)
-    if outp is None:  # unrolled path: GEMM over the masked columns in XLA
-        outp = _cols_matmul(cols, w2, plan, Og, precision)
     out = _finish_out(outp, plan, O, spec.groups, None, x.dtype)
     return out, (cf, co, xr, w2, cols)
 
