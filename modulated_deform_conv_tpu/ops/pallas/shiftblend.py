@@ -757,20 +757,34 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
     # deformable_conv.cu:281-283) and grad_mask reduces ab_nm * r0_nm,
     # which equals sum_c gcol * colnm (mdeformable_conv.cu:315) without
     # needing an unmasked-columns residual — and stays exact at mask == 0.
+    #
+    # r2.2 rework: the channel correlation keeps an (8, BLK) PARTIAL —
+    # an FMA chain over 8-sublane groups at full sublane occupancy — and
+    # the gradient rows accumulate as (8, BLK) partials too, so the
+    # cross-sublane shuffle-reduce runs ONCE per (tap, row) at the end
+    # instead of once per (tap, window) pair (a full reduce plus row math
+    # at 1/8 occupancy per pair was ~2.5x the cost of this form; same
+    # sums, reassociated).
     gs_ref[...] = jnp.zeros_like(gs_ref)
     tap_windows = {k: [] for k in range(p.K)}
     for delta, pairs in p.deltas.items():
         for k, dyvec in pairs:
             tap_windows[k].append((delta, dyvec))
+    CB = 8
+    ncb = p.Cg // CB
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
         mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
-        goff = [jnp.zeros((p.BLK,), jnp.float32) for _ in range(p.nd)]
-        gm = jnp.zeros((p.BLK,), jnp.float32) if p.modulated else None
+        goff = [jnp.zeros((CB, p.BLK), jnp.float32) for _ in range(p.nd)]
+        gm = jnp.zeros((CB, p.BLK), jnp.float32) if p.modulated else None
         for delta, dyvec in tap_windows[k]:
             xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-            r0nm = jnp.sum(gcol * xs, axis=0, keepdims=True)[0]
-            r0m = r0nm * mrow if p.modulated else r0nm
+            r0p = None                       # (8, BLK) partial of r0_nm
+            for i in range(ncb):
+                term = (gcol[i * CB:(i + 1) * CB]
+                        * xs[i * CB:(i + 1) * CB])
+                r0p = term if r0p is None else r0p + term
+            r0pm = r0p * mrow[None, :] if p.modulated else r0p
             arows = [wr_ref[p.row0[d] + dyvec[d], k, :]
                      for d in range(p.nd)]
             for d in range(p.nd):
@@ -778,16 +792,16 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
                 for e in range(p.nd):
                     if e != d:
                         dab = dab * arows[e]
-                goff[d] = goff[d] + dab * r0m
+                goff[d] = goff[d] + dab[None, :] * r0pm
             if p.modulated:
                 ab = arows[0]
                 for d in range(1, p.nd):
                     ab = ab * arows[d]
-                gm = gm + ab * r0nm
+                gm = gm + ab[None, :] * r0p
         for d in range(p.nd):
-            gs_ref[0, 0, k, d, :] = goff[d]
+            gs_ref[0, 0, k, d, :] = jnp.sum(goff[d], axis=0)
         if p.modulated:
-            gs_ref[0, 0, k, p.nd, :] = gm
+            gs_ref[0, 0, k, p.nd, :] = jnp.sum(gm, axis=0)
 
 
 def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
@@ -903,13 +917,41 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
 
     # Sweep 2 (tap-major, fori over the lead window with the gradient
     # rows in the loop carry): offset/mask gradients.
+    #
+    # r2.2 rework (mirrors _bwd_kernel): the channel correlation keeps an
+    # (8, BLK) partial via an FMA chain over 8-sublane groups, the
+    # gradient rows ride the carry as (8, BLK) partials, and leave-one-out
+    # inner coefficient products (arest / its derivative variants) are
+    # hoisted OUT of the fori_loop — they depend only on the inner window
+    # rows, not on dz.  The cross-sublane reduce runs once per (tap, row)
+    # after the loop.  Same sums, reassociated; ~3x fewer vector ops.
     gs_ref[...] = jnp.zeros_like(gs_ref)
+    CB = 8
+    ncb = p.Cg // CB
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
         mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
         off_base = p.IPAD
+        combos = _inner_combos(p, k)
+        # Hoisted per-combo inner products: arest (prod of inner rows),
+        # and the derivative variant per inner axis (dwr at axis d).
+        hoisted = []
+        for rows, inner in combos:
+            arest = None
+            for r in rows:
+                rr = wr_ref[r, k, :]
+                arest = rr if arest is None else arest * rr
+            dvars = []
+            for d in range(len(rows)):
+                q = None
+                for e, r in enumerate(rows):
+                    rr = (dwr_ref if e == d else wr_ref)[r, k, :]
+                    q = rr if q is None else q * rr
+                dvars.append(q)
+            hoisted.append((inner, arest, dvars))
 
-        def body2(dz, rows_carry, k=k, gcol=gcol, mrow=mrow):
+        def body2(dz, rows_carry, k=k, gcol=gcol, mrow=mrow,
+                  hoisted=hoisted):
             base = (t * p.BLK + p.RPAD - p.IPAD
                     + (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0)
             xw = x_ref[0, 0, :, pl.ds(base, p.BLK + 2 * p.IPAD)]
@@ -917,32 +959,28 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             da0 = dwr_ref[pl.ds(p.row0[0] + dz, 1), k, :][0]
             goff = list(rows_carry[:p.nd])
             gm = rows_carry[p.nd]
-            for rows, inner in _inner_combos(p, k):
+            for inner, arest, dvars in hoisted:
                 xs = xw[:, off_base + inner:off_base + inner + p.BLK]
-                r0nm = jnp.sum(gcol * xs, axis=0, keepdims=True)[0]
-                r0m = r0nm * mrow if p.modulated else r0nm
-                arest = None
-                for r in rows:
-                    rr = wr_ref[r, k, :]
-                    arest = rr if arest is None else arest * rr
-                goff[0] = goff[0] + da0 * arest * r0m
-                for d, rd in enumerate(rows):
-                    q = a0
-                    for e, r in enumerate(rows):
-                        rr = (dwr_ref if e == d else wr_ref)[r, k, :]
-                        q = q * rr
-                    goff[1 + d] = goff[1 + d] + q * r0m
+                r0p = None                   # (8, BLK) partial of r0_nm
+                for i in range(ncb):
+                    term = (gcol[i * CB:(i + 1) * CB]
+                            * xs[i * CB:(i + 1) * CB])
+                    r0p = term if r0p is None else r0p + term
+                r0pm = r0p * mrow[None, :] if p.modulated else r0p
+                goff[0] = goff[0] + (da0 * arest)[None, :] * r0pm
+                for d, q in enumerate(dvars):
+                    goff[1 + d] = goff[1 + d] + (a0 * q)[None, :] * r0pm
                 if p.modulated:
-                    gm = gm + a0 * arest * r0nm
+                    gm = gm + (a0 * arest)[None, :] * r0p
             return tuple(goff) + (gm,)
 
-        init = tuple(jnp.zeros((p.BLK,), jnp.float32)
+        init = tuple(jnp.zeros((CB, p.BLK), jnp.float32)
                      for _ in range(p.nd + 1))
         rows_out = jax.lax.fori_loop(0, p.W[0], body2, init)
         for d in range(p.nd):
-            gs_ref[0, 0, k, d, :] = rows_out[d]
+            gs_ref[0, 0, k, d, :] = jnp.sum(rows_out[d], axis=0)
         if p.modulated:
-            gs_ref[0, 0, k, p.nd, :] = rows_out[p.nd]
+            gs_ref[0, 0, k, p.nd, :] = jnp.sum(rows_out[p.nd], axis=0)
 
 
 def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
