@@ -21,9 +21,13 @@ def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
     leading-axis chunking); the structured-sparse MXU kernel (gathermm)
     wins for wide channel slabs (C/dg > 128, cfg5 shapes), which
     amortize its window sweep on the MXU — and the register sweep is a
-    compile bomb past C/dg ~256 anyway (see SBPlan.ineligible_reason)."""
+    compile bomb past C/dg ~256 anyway (see SBPlan.ineligible_reason).
+    The crossover resolves through the device profile (utils/device.py):
+    128 as measured on v5e, overridable via MDC_SB_CROSSOVER for other
+    chips."""
+    from ...utils.device import current_profile
     Cg = x.shape[1] // spec.deformable_groups
-    return Cg <= 128
+    return Cg <= current_profile().sb_crossover_cg
 
 
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,

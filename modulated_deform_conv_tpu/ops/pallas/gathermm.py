@@ -55,17 +55,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.config import DeformConvSpec
+from ...utils.device import current_profile
 
 PRECISIONS = ("float32", "tensorfloat32", "bfloat16")
 
-# VMEM budgets (bytes) for the tiling heuristic / eligibility gate.
-_A_CHUNK_BUDGET = 2 * 1024 * 1024       # one (SCH, KP) f32 A-chunk
-_X_PLANE_BUDGET = 40 * 1024 * 1024      # one (S_pad, Cg) input plane
-_VMEM_LIMIT = 100 * 1024 * 1024         # v5e has 128MB physical VMEM
-_LANE_BUDGET = 4608                     # target KP lanes per matmul
+# VMEM budgets for the tiling heuristic / eligibility gate resolve through
+# utils/device.py per device kind (r3, VERDICT item 5); the module names
+# remain as None-able OVERRIDES for tests/benchmarks (r2 v5e values:
+# A-chunk 2MB, x-plane 40MB, vmem limit 100MB, lane budget 4608).
+_A_CHUNK_BUDGET = None                  # one (SCH, KP) f32 A-chunk
+_X_PLANE_BUDGET = None                  # one (S_pad, Cg) input plane
+_VMEM_LIMIT = None
+_LANE_BUDGET = None                     # target KP lanes per matmul
 _PT_OVERRIDE = 0                        # nonzero: force P_tile (tuning)
 _K0_OVERRIDE = 0                        # nonzero: force tap-group count
 _SCH_OVERRIDE = 0                       # nonzero: force input chunk size
+
+
+def _a_chunk_budget() -> int:
+    return (_A_CHUNK_BUDGET if _A_CHUNK_BUDGET
+            else current_profile().gm_a_chunk_budget)
+
+
+def _x_plane_budget() -> int:
+    return (_X_PLANE_BUDGET if _X_PLANE_BUDGET
+            else current_profile().gm_x_plane_budget)
+
+
+def _vmem_limit() -> int:
+    return _VMEM_LIMIT if _VMEM_LIMIT else current_profile().gm_vmem_limit
+
+
+def _lane_budget() -> int:
+    return _LANE_BUDGET if _LANE_BUDGET else current_profile().lane_budget
 
 
 def _interpret() -> bool:
@@ -119,7 +141,7 @@ class _Plan:
                 if _K0_OVERRIDE and k0 != _K0_OVERRIDE:
                     continue
                 ki = self.K // k0
-                if ki * pt > _LANE_BUDGET:
+                if ki * pt > _lane_budget():
                     continue
                 lanes = -(-ki * pt // 128) * 128
                 rows = pt / run + (0 if pt % run == 0 else 1)
@@ -132,7 +154,7 @@ class _Plan:
         if best is None:                   # override matched nothing: retry
             for k0 in divisors:
                 ki = self.K // k0
-                if ki * (_PT_OVERRIDE or 128) <= _LANE_BUDGET:
+                if ki * (_PT_OVERRIDE or 128) <= _lane_budget():
                     best = (0, k0, ki, _PT_OVERRIDE or 128)
                     break
         _, k0, ki, pt = best
@@ -151,7 +173,7 @@ class _Plan:
         in_row = self.qstride[0] if self.nd > 1 else 1   # input row size
         win_rows = (self.PT / run) * spec.stride[0] + 1 + halo
         window = int(win_rows * in_row)
-        sch = max(8, min(int(window / 6), _A_CHUNK_BUDGET // (self.KP * 4))
+        sch = max(8, min(int(window / 6), _a_chunk_budget() // (self.KP * 4))
                   // 8 * 8)
         last = self.S[-1]
         unit = (last * 8) // math.gcd(last, 8)   # lcm(S_last, 8)
@@ -177,12 +199,12 @@ class _Plan:
         # last resort when even an 8-channel slice doesn't fit.
         self.NCP = 1
         plane = self.SPAD * self.Cg * 4
-        while (self.SPAD * (self.Cg // self.NCP) * 4 > _X_PLANE_BUDGET
+        while (self.SPAD * (self.Cg // self.NCP) * 4 > _x_plane_budget()
                and self.Cg % (self.NCP * 2) == 0
                and self.Cg // (self.NCP * 2) >= 8):
             self.NCP *= 2
         self.CgP = self.Cg // self.NCP
-        self.stream = self.SPAD * self.CgP * 4 > _X_PLANE_BUDGET
+        self.stream = self.SPAD * self.CgP * 4 > _x_plane_budget()
         if self.stream:
             self.NCP, self.CgP = 1, self.Cg
 
@@ -197,9 +219,9 @@ class _Plan:
         return self.qstride[d]
 
     def ineligible_reason(self) -> Optional[str]:
-        if self.KP > 2 * _LANE_BUDGET:
+        if self.KP > 2 * _lane_budget():
             return "K*P_tile too large for the lane budget"
-        if self.SCH * self.KP * 4 > 2 * _A_CHUNK_BUDGET:
+        if self.SCH * self.KP * 4 > 2 * _a_chunk_budget():
             return "A chunk exceeds VMEM budget"
         if self.Cg < 8:
             return "too few channels per deformable group for the MXU"
@@ -573,7 +595,7 @@ def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (p.B, p.dg, p.NCP, p.NT, p.K0, p.KP, p.CgP), cols_dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(bnd, pr, xp)
     # (B, dg, NCP, NT, K0, KP, CgP) -> (B, dg, NT, K0, KP, Cg)
@@ -637,7 +659,7 @@ def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
             jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.NT, p.K0, p.NR, p.KP),
                                  jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(bnd, pr, xp, gcols_t)
     # (B, dg, NCP, SPAD, CgP) -> (B, dg, SPAD, Cg)
@@ -1233,7 +1255,7 @@ def _fused_conv_call(xp, pr, bnd, w2, plan: _Plan, Og, cd, prec):
         functools.partial(_fwd_fused_kernel, plan=p, cd=cd, prec=prec),
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(bnd, pr, xp, w2)
     return res if p.save_cols else (res[0], None)
@@ -1317,7 +1339,7 @@ def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, cols2, plan: _Plan, Og,
             jax.ShapeDtypeStruct((p.B, p.dg, p.NCP, p.K0, Og,
                                   p.KI * p.CgP), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(*args)
 

@@ -47,10 +47,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.config import DeformConvSpec
+from ...utils.device import current_profile
 
-_VMEM_LIMIT = 117 * 1024 * 1024   # v5e: 128MB physical
-_X_RESIDENT_BUDGET = 48 * 1024 * 1024
-_RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (bwd)
+# Plan constants resolve through utils/device.py per device kind (r3,
+# VERDICT item 5); the module-level names remain as None-able OVERRIDES so
+# tests/benchmarks can pin them (the r2 v5e values were _VMEM_LIMIT=117MB,
+# _X_RESIDENT_BUDGET=48MB).
+_VMEM_LIMIT = None
+_X_RESIDENT_BUDGET = None
+_RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (HBM, bwd)
+
+
+def _vmem_limit() -> int:
+    return _VMEM_LIMIT if _VMEM_LIMIT else current_profile().sb_vmem_limit
+
+
+def _x_resident_budget() -> int:
+    return (_X_RESIDENT_BUDGET if _X_RESIDENT_BUDGET
+            else current_profile().sb_x_resident_budget)
 
 # r2 rework, from measured ablations (full account in
 # benchmarks/ANALYSIS.md §3): the mask folds into the per-pair
@@ -241,7 +255,7 @@ class SBPlan:
                     "(C/deformable_groups > 256; use the gathermm path)")
         if self.dg % spec.groups:
             return "deformable_groups must be a multiple of groups"
-        if 2 * self.x_resident_bytes(4) > _X_RESIDENT_BUDGET:
+        if 2 * self.x_resident_bytes(4) > _x_resident_budget():
             # x and grad_x planes are both VMEM-resident in the backward.
             return "input plane exceeds the VMEM residency budget"
         if self.n_pairs > 640 and not self.loopable:
@@ -413,6 +427,20 @@ def _flat_pairs(plan: SBPlan):
     return out
 
 
+def _r0_partial(gcol, xs, Cg: int):
+    """(8, BLK) partial of the correlation row r0_nm = sum_c gcol * xs:
+    an FMA chain over 8-sublane channel groups at full sublane occupancy
+    (ADVICE r2: shared by both backward kernels).  The cross-sublane
+    reduce runs once per (tap, row) at the end, not here."""
+    CB = 8
+    assert Cg % CB == 0, "SBPlan eligibility guarantees Cg % 8 == 0"
+    r0p = None
+    for i in range(Cg // CB):
+        term = gcol[i * CB:(i + 1) * CB] * xs[i * CB:(i + 1) * CB]
+        r0p = term if r0p is None else r0p + term
+    return r0p
+
+
 def _pair_row(wr_ref, cf_ref, k, dyvec, plan: SBPlan, masked: bool):
     """(BLK,) coefficient row for one (tap, window) pair: the product of
     the per-axis corner-weight rows, optionally times the mask row (the
@@ -449,6 +477,7 @@ def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
     # bfloat16 precision mode therefore means bf16 MXU operands and
     # bf16 residual storage, not bf16 vector arithmetic.
     CB = 8
+    assert p.Cg % CB == 0, "SBPlan eligibility guarantees Cg % 8 == 0"
     for cb in range(p.Cg // CB):
         xw = x_ref[0, 0, pl.ds(cb * CB, CB),
                    pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
@@ -482,22 +511,59 @@ def _inner_combos(plan: SBPlan, k: int):
     return out
 
 
+def _loop_pairs(plan: SBPlan):
+    """Flat [(idx, k, rows, inner)] over (tap, inner-combo) for the
+    rolled-loop kernels; idx addresses the cp staging scratch rows.  These
+    products are dz-invariant, so hoisting them out of the lead-window
+    fori_loop (r3 rework) cuts the per-(dz, pair) row work from 2-3 (1,
+    BLK) multiplies to at most one."""
+    out = []
+    for k in range(plan.K):
+        for rows, inner in _inner_combos(plan, k):
+            out.append((len(out), k, rows, inner))
+    return out
+
+
+def _fill_cp_loop(cp_ref, wr_ref, cf_ref, plan: SBPlan):
+    """Stage the dz-invariant per-(tap, inner-combo) coefficient row
+    products (mask folded, mdeformable_conv.cu:83) — once per grid cell,
+    ~1% of the sweep cost, reused W[0] times."""
+    p = plan
+    for idx, k, rows, _ in _loop_pairs(p):
+        c = wr_ref[rows[0], k, :]
+        for r in rows[1:]:
+            c = c * wr_ref[r, k, :]
+        if p.modulated:
+            c = c * cf_ref[0, 0, p.cmask, k, :]
+        cp_ref[idx] = c
+
+
 def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
                      plan: SBPlan, prec, cd, save_cols: bool):
     """Rolled-loop forward for large windows (3D): identical math to
     _fwd_kernel, with the leading window axis in a fori_loop.  The x
     window load is 128-aligned (qstride[0] % 128 == 0 guaranteed by the
-    plan); inner-axis shifts are static slices of the loaded window."""
+    plan); inner-axis shifts are static slices of the loaded window.
+
+    r3 rework: the inner-combo coefficient products (mask folded) are
+    dz-invariant — staged once per cell in cp_ref — and the lead row a0
+    factors OUT of the inner sum:
+        acc[k] += a0 * sum_combos cp[k, combo] * x_shifted
+    (exact reassociation).  The old form paid 2-3 (1, BLK) row multiplies
+    per (dz, pair); this form pays ~1/W_inner of one — measured ~1.25x
+    end-to-end on cfg3."""
     p = plan
     if save_cols:
-        cols_ref, acc_ref, acc2_ref, wr_ref = rest
+        cols_ref, acc_ref, acc2_ref, wr_ref, cp_ref = rest
     else:
         cols_ref = None
-        acc_ref, acc2_ref, wr_ref = rest
+        acc_ref, acc2_ref, wr_ref, cp_ref = rest
     t = pl.program_id(2)
     _expand_rows(cf_ref, co_ref, wr_ref, None, p)
+    _fill_cp_loop(cp_ref, wr_ref, cf_ref, p)
     acc_ref[...] = jnp.zeros_like(acc_ref)
     qs0 = p.qstride[0]
+    fps = _loop_pairs(p)
 
     wide = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
 
@@ -507,19 +573,15 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
         xw = x_ref[0, 0, :, pl.ds(base, wide)].astype(cd)
         for k in range(p.K):
             a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]         # (1, BLK)
-            if p.modulated:
-                # Fold the mask into the lead coefficient row once per
-                # (dz, tap): the accumulated columns come out MASKED
-                # (mdeformable_conv.cu:83), matching the unrolled path's
-                # residual contract.
-                a0 = a0 * cf_ref[0, 0, p.cmask, k, :][None, :]
             off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
-            for rows, inner in _inner_combos(p, k):
-                c = a0
-                for r in rows:
-                    c = c * wr_ref[r, k, :][None, :]
+            acc = None
+            for idx, kk, rows, inner in fps:
+                if kk != k:
+                    continue
                 xs = xw[:, off_k + inner:off_k + inner + p.BLK]
-                acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += c.astype(cd) * xs
+                term = cp_ref[idx, :][None, :].astype(cd) * xs
+                acc = term if acc is None else acc + term
+            acc_ref[:, pl.ds(k * p.BLK, p.BLK)] += a0.astype(cd) * acc
         return carry
 
     jax.lax.fori_loop(0, p.W[0], body, 0)
@@ -591,7 +653,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                                      _cols_dtype(precision)),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT),
+                vmem_limit_bytes=_vmem_limit()),
             interpret=_interpret(),
         )(cf, co, xr, w2)
         return out[0], out[1]
@@ -631,6 +693,8 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
             pltpu.VMEM((p.K * p.Cg, p.BLK),
                        jnp.float32 if cd == jnp.float32 else jnp.bfloat16),
             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+            pltpu.VMEM((_round_up(p.n_pairs // p.W[0], 8), p.BLK),
+                       jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -638,7 +702,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                           save_cols=save_cols),
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(cf, co, xr, w2)
     return (out[0], out[1]) if save_cols else (out[0], None)
@@ -771,7 +835,6 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
         for k, dyvec in pairs:
             tap_windows[k].append((delta, dyvec))
     CB = 8
-    ncb = p.Cg // CB
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
         mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
@@ -779,11 +842,7 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
         gm = jnp.zeros((CB, p.BLK), jnp.float32) if p.modulated else None
         for delta, dyvec in tap_windows[k]:
             xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-            r0p = None                       # (8, BLK) partial of r0_nm
-            for i in range(ncb):
-                term = (gcol[i * CB:(i + 1) * CB]
-                        * xs[i * CB:(i + 1) * CB])
-                r0p = term if r0p is None else r0p + term
+            r0p = _r0_partial(gcol, xs, p.Cg)
             r0pm = r0p * mrow[None, :] if p.modulated else r0p
             arows = [wr_ref[p.row0[d] + dyvec[d], k, :]
                      for d in range(p.nd)]
@@ -827,15 +886,16 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     p = plan
     if has_cols:
         (cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
-         wr_ref, dwr_ref) = rest
+         wr_ref, dwr_ref, cp_ref) = rest
         colacc_ref = None
     else:
         (gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
-         wr_ref, dwr_ref, colacc_ref) = rest
+         wr_ref, dwr_ref, cp_ref, colacc_ref) = rest
         cols_ref = None
     # dg outermost: see _bwd_kernel on consecutive gw-block revisits.
     dgi, b, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     qs0 = p.qstride[0]
+    fps = _loop_pairs(p)
 
     @pl.when(t == 0)
     def _():
@@ -846,6 +906,7 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
+    _fill_cp_loop(cp_ref, wr_ref, cf_ref, p)
     gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
     gcols_ref[...] = jax.lax.dot_general(
         w2_ref[0].astype(cd), gout, (((0,), (0,)), ((), ())),
@@ -856,7 +917,8 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             gout, cols_ref[0, 0].astype(cd), (((1,), (1,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
     else:
-        # Recompute the MASKED columns (same loop as the forward).
+        # Recompute the MASKED columns (same a0-factored loop as the
+        # forward; reference recompute tradeoff, deformable_conv.cu:285).
         colacc_ref[...] = jnp.zeros_like(colacc_ref)
         widec = p.BLK + 2 * p.IPAD + p.tb0_span * qs0
 
@@ -866,15 +928,15 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             xw = x_ref[0, 0, :, pl.ds(base, widec)]
             for k in range(p.K):
                 a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
-                if p.modulated:
-                    a0 = a0 * cf_ref[0, 0, p.cmask, k, :][None, :]
                 off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
-                for rows, inner in _inner_combos(p, k):
-                    c = a0
-                    for r in rows:
-                        c = c * wr_ref[r, k, :][None, :]
+                acc = None
+                for idx, kk, rows, inner in fps:
+                    if kk != k:
+                        continue
                     xs = xw[:, off_k + inner:off_k + inner + p.BLK]
-                    colacc_ref[pl.ds(k * p.Cg, p.Cg), :] += c * xs
+                    term = cp_ref[idx, :][None, :] * xs
+                    acc = term if acc is None else acc + term
+                colacc_ref[pl.ds(k * p.Cg, p.Cg), :] += a0 * acc
             return carry
 
         jax.lax.fori_loop(0, p.W[0], colbody, 0)
@@ -886,24 +948,21 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     # of (tap, inner-combo) by the inner flat shift: contributions that
     # land on the same gwin lanes sum in registers before ONE RMW.
     lead_groups = {}
-    for k in range(p.K):
-        lead_groups.setdefault(p.tap_base[k][0], {})
-        inner_map = lead_groups[p.tap_base[k][0]]
-        for rows, inner in _inner_combos(p, k):
-            inner_map.setdefault(inner, []).append((k, rows))
+    for idx, k, rows, inner in fps:
+        inner_map = lead_groups.setdefault(p.tap_base[k][0], {})
+        inner_map.setdefault(inner, []).append((k, idx))
 
-    # Sweep 1 (fori over the lead window): grad_x.
+    # Sweep 1 (fori over the lead window): grad_x.  The per-pair
+    # coefficient row is a single multiply against the staged product
+    # (r3: was 3-4 row multiplies rebuilt per (dz, pair)).
     def body(dz, carry):
         for g0, inner_map in lead_groups.items():
             gwin_ref[...] = jnp.zeros_like(gwin_ref)
             for inner, lst in sorted(inner_map.items()):
                 tmp = None
-                for k, rows in lst:
-                    cm = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
-                    if p.modulated:
-                        cm = cm * cf_ref[0, 0, p.cmask, k, :][None, :]
-                    for r in rows:
-                        cm = cm * wr_ref[r, k, :][None, :]
+                for k, idx in lst:
+                    cm = (wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
+                          * cp_ref[idx, :][None, :])
                     contrib = cm * gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
                     tmp = contrib if tmp is None else tmp + contrib
                 gwin_ref[:, p.IPAD + inner:p.IPAD + inner + p.BLK] += tmp
@@ -927,7 +986,6 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     # after the loop.  Same sums, reassociated; ~3x fewer vector ops.
     gs_ref[...] = jnp.zeros_like(gs_ref)
     CB = 8
-    ncb = p.Cg // CB
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
         mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
@@ -950,6 +1008,13 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
                 dvars.append(q)
             hoisted.append((inner, arest, dvars))
 
+        # r3 rework: a0/da0/mask factor OUT of the combo loop.  Per (dz,
+        # combo) only the nd (8, BLK) partial-sum FMAs S_a += arest*r0p /
+        # S_qd += q_d*r0p remain (r0p stays UNMASKED; the mask row is
+        # combo-invariant, so r0pm sums fold to mrow * S): same sums,
+        # reassociated — the old form paid ~4 row multiplies + 4 FMAs per
+        # combo for the final-row updates, the new one ~(nd+1) FMAs per
+        # combo plus a per-(tap, dz) epilogue.
         def body2(dz, rows_carry, k=k, gcol=gcol, mrow=mrow,
                   hoisted=hoisted):
             base = (t * p.BLK + p.RPAD - p.IPAD
@@ -959,19 +1024,23 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             da0 = dwr_ref[pl.ds(p.row0[0] + dz, 1), k, :][0]
             goff = list(rows_carry[:p.nd])
             gm = rows_carry[p.nd]
+            s_a = None                       # sum_combos arest * r0p
+            s_q = [None] * (p.nd - 1)        # sum_combos q_d * r0p
             for inner, arest, dvars in hoisted:
                 xs = xw[:, off_base + inner:off_base + inner + p.BLK]
-                r0p = None                   # (8, BLK) partial of r0_nm
-                for i in range(ncb):
-                    term = (gcol[i * CB:(i + 1) * CB]
-                            * xs[i * CB:(i + 1) * CB])
-                    r0p = term if r0p is None else r0p + term
-                r0pm = r0p * mrow[None, :] if p.modulated else r0p
-                goff[0] = goff[0] + (da0 * arest)[None, :] * r0pm
+                r0p = _r0_partial(gcol, xs, p.Cg)
+                ta = arest[None, :] * r0p
+                s_a = ta if s_a is None else s_a + ta
                 for d, q in enumerate(dvars):
-                    goff[1 + d] = goff[1 + d] + (a0 * q)[None, :] * r0pm
-                if p.modulated:
-                    gm = gm + (a0 * arest)[None, :] * r0p
+                    tq = q[None, :] * r0p
+                    s_q[d] = tq if s_q[d] is None else s_q[d] + tq
+            s_am = s_a * mrow[None, :] if p.modulated else s_a
+            goff[0] = goff[0] + da0[None, :] * s_am
+            for d in range(p.nd - 1):
+                sqm = s_q[d] * mrow[None, :] if p.modulated else s_q[d]
+                goff[1 + d] = goff[1 + d] + a0[None, :] * sqm
+            if p.modulated:
+                gm = gm + a0[None, :] * s_a
             return tuple(goff) + (gm,)
 
         init = tuple(jnp.zeros((CB, p.BLK), jnp.float32)
@@ -1041,7 +1110,7 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
                                  jnp.float32),
             jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(cf, co, xr, w2, goutp, cols)
     return out[0], out[1], out[2]
@@ -1098,7 +1167,9 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
             [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
              pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32),
              pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
-             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32)]
+             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+             pltpu.VMEM((_round_up(p.n_pairs // p.W[0], 8), p.BLK),
+                        jnp.float32)]
             + ([] if cols is not None else
                [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)])),
     )
@@ -1115,7 +1186,7 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
                                  jnp.float32),
             jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(*args)
 
