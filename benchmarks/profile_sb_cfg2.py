@@ -127,29 +127,42 @@ def main():
     # 3. bwd kernel alone
     gout = jnp.asarray(rng.standard_normal((B, O) + tuple(OS)), jnp.float32)
     goutp = jax.jit(lambda gg: sb._gout_prep(gg, plan, O, g))(gout)
-    if plan.unrolled:
-        def bwd_kernel(cf, co, xr, w2, goutp):
-            gxp, gs = sb._bwd_call_unrolled(xr, cf, co, w2, goutp, plan,
-                                            Og, precision, g)
-            return jnp.sum(gxp[0, 0, 0]) + jnp.sum(gs[0, 0, 0, 0, 0])
-        res["bwd_kernel_ms"] = amortized(
-            bwd_kernel, (cf, co, xr, w2, goutp)) * 1e3
-    else:
-        cols = None
-        if plan.save_cols:
-            _, cols = jax.jit(functools.partial(
-                sb._fwd_call, plan=plan, Og=Og, precision=precision,
-                save_cols=True))(xr, cf, co, w2)
+    cols = None
+    if plan.save_cols:
+        _, cols = jax.jit(functools.partial(
+            sb._fwd_call, plan=plan, Og=Og, precision=precision,
+            save_cols=True))(xr, cf, co, w2)
+    bwd_call = sb._bwd_call_unrolled if plan.unrolled else sb._bwd_call
 
-        def bwd_kernel(cf, co, xr, w2, goutp, *mc):
-            c = mc[0] if mc else None
-            gxp, gs, gw2 = sb._bwd_call(xr, cf, co, w2, goutp, c, plan, Og,
-                                        precision, g)
-            return (jnp.sum(gxp[0, 0, 0]) + jnp.sum(gs[0, 0, 0, 0, 0])
-                    + jnp.sum(gw2[0, 0]))
-        bwd_args = (cf, co, xr, w2, goutp) + (
-            (cols,) if cols is not None else ())
-        res["bwd_kernel_ms"] = amortized(bwd_kernel, bwd_args) * 1e3
+    def bwd_kernel(cf, co, xr, w2, goutp, *mc):
+        c = mc[0] if mc else None
+        gxp, gs, gw2 = bwd_call(xr, cf, co, w2, goutp, c, plan, Og,
+                                precision, g)
+        return (jnp.sum(gxp[0, 0, 0]) + jnp.sum(gs[0, 0, 0, 0, 0])
+                + jnp.sum(gw2[0, 0]))
+    bwd_args = (cf, co, xr, w2, goutp) + (
+        (cols,) if cols is not None else ())
+    res["bwd_kernel_ms"] = amortized(bwd_kernel, bwd_args) * 1e3
+
+    # 4. backward glue: gout prep + gs unpack / gx slice / gw unprep
+    def bwd_glue(gout, gs_like, gxp_like, gw2_like, off, mask):
+        import math as _m
+        goutp2 = sb._gout_prep(gout, plan, O, g)
+        flat = _m.prod(plan.S)
+        left = plan.RPAD - plan.lead_R * plan.qstride[0]
+        gx = gxp_like[:, :, :, left:left + flat].reshape((B, C) + plan.S)
+        gsl = gs_like[..., :plan.P]
+        goff = gsl[:, :, :, :nd].reshape(off.shape)
+        gm = gsl[:, :, :, nd].reshape(mask.shape)
+        gw = sb._w2_unprep(gw2_like, plan, O, g, spec.kernel)
+        return (jnp.sum(goutp2[0, 0, 0]) + jnp.sum(gx[0, 0, 0, 0])
+                + jnp.sum(goff[0, 0, 0]) + jnp.sum(gm[0, 0, 0])
+                + jnp.sum(gw[0, 0]))
+    gxp_like = jnp.zeros((B, dg, plan.Cg, plan.QPAD), jnp.float32)
+    gs_like = jnp.zeros((B, dg, K, 8, plan.PPAD), jnp.float32)
+    gw2_like = jnp.zeros((dg, Og, K * plan.Cg), jnp.float32)
+    res["bwd_glue_ms"] = amortized(
+        bwd_glue, (gout, gs_like, gxp_like, gw2_like, off, mask)) * 1e3
 
     # 5. end-to-end via public API
     from modulated_deform_conv_tpu import modulated_deform_conv2d, \

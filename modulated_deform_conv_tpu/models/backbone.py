@@ -46,6 +46,11 @@ class DCNBottleneck(nn.Module):
     deformable_groups: int = 1
     stride: int = 1
     deformable: bool = True
+    # Mesh-sharded execution (see models/modules.py): forwarded to the DCN.
+    mesh: object = None
+    max_offset: float = 0.0
+    batch_axis: str = "data"
+    spatial_axis: str = "space"
 
     @nn.compact
     def __call__(self, x):
@@ -56,7 +61,10 @@ class DCNBottleneck(nn.Module):
                 in_channels=self.channels, out_channels=self.channels,
                 kernel_size=3, stride=self.stride, padding=1,
                 deformable_groups=self.deformable_groups,
-                zero_init_offset=True, sigmoid_mask=True, name="dcn")(y)
+                zero_init_offset=True, sigmoid_mask=True, name="dcn",
+                mesh=self.mesh, max_offset=self.max_offset,
+                batch_axis=self.batch_axis,
+                spatial_axis=self.spatial_axis)(y)
         else:
             y = ConvBN(self.channels, kernel=3, stride=self.stride,
                        name="conv2")(y)
@@ -76,6 +84,10 @@ class DCNStage(nn.Module):
     deformable_groups: int = 1
     stride: int = 1
     deformable: bool = True
+    mesh: object = None
+    max_offset: float = 0.0
+    batch_axis: str = "data"
+    spatial_axis: str = "space"
 
     @nn.compact
     def __call__(self, x):
@@ -84,6 +96,9 @@ class DCNStage(nn.Module):
                               self.deformable_groups,
                               stride=self.stride if i == 0 else 1,
                               deformable=self.deformable,
+                              mesh=self.mesh, max_offset=self.max_offset,
+                              batch_axis=self.batch_axis,
+                              spatial_axis=self.spatial_axis,
                               name=f"block{i}")(x)
         return x
 

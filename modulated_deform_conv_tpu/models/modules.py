@@ -65,6 +65,16 @@ class _DeformConvBase(nn.Module):
     # offset_bound is the matching inference-time declaration.
     offset_bound: Optional[float] = None
     param_dtype: jnp.dtype = jnp.float32
+    # Mesh-sharded execution (r3): with `mesh` set, the op routes through
+    # parallel/sharding.py (batch sharding, spatial halo exchange, group
+    # TP) instead of the single-device dispatch — the model layer the
+    # reference lacks becomes mesh-aware end to end (SURVEY §2.3).
+    # `max_offset` is the sharding layer's bounded-offset contract.
+    mesh: Optional[object] = None            # jax.sharding.Mesh
+    batch_axis: Optional[str] = "data"
+    spatial_axis: Optional[str] = "space"
+    group_axis: Optional[str] = None
+    max_offset: float = 0.0
 
     # ClassVar, not dataclass fields: subclasses override these statically.
     _ndim: ClassVar[int] = 2
@@ -94,6 +104,20 @@ class _DeformConvBase(nn.Module):
 
     def _conv(self, x, offset, mask):
         k = self._kernel()
+        if self.mesh is not None:
+            from ..parallel import sharding as _sh
+            from ..utils.config import DeformConvSpec
+            spec = DeformConvSpec.make(
+                self._ndim, k, ntuple(self.stride, self._ndim),
+                ntuple(self.padding, self._ndim),
+                ntuple(self.dilation, self._ndim), self.groups,
+                self.deformable_groups, self.in_step,
+                modulated=self._modulated)
+            return _sh.sharded_deform_conv(
+                x, offset, mask if self._modulated else None, self.weight,
+                self.bias, spec, self.mesh, batch_axis=self.batch_axis,
+                spatial_axis=self.spatial_axis, max_offset=self.max_offset,
+                group_axis=self.group_axis, impl=self.impl)
         kwargs = dict(stride=ntuple(self.stride, self._ndim),
                       padding=ntuple(self.padding, self._ndim),
                       dilation=ntuple(self.dilation, self._ndim),

@@ -829,34 +829,55 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
     # instead of once per (tap, window) pair (a full reduce plus row math
     # at 1/8 occupancy per pair was ~2.5x the cost of this form; same
     # sums, reassociated).
+    # r3 rework (mirrors the loop path): a0/da0/mask factor OUT of the
+    # inner-window sum — per pair only the nd partial-sum FMAs on the
+    # UNMASKED r0p remain, and the lead rows multiply per-(tap, dy0)
+    # partial sums in an epilogue (same sums, reassociated).
     gs_ref[...] = jnp.zeros_like(gs_ref)
-    tap_windows = {k: [] for k in range(p.K)}
-    for delta, pairs in p.deltas.items():
-        for k, dyvec in pairs:
-            tap_windows[k].append((delta, dyvec))
     CB = 8
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
         mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
         goff = [jnp.zeros((CB, p.BLK), jnp.float32) for _ in range(p.nd)]
         gm = jnp.zeros((CB, p.BLK), jnp.float32) if p.modulated else None
-        for delta, dyvec in tap_windows[k]:
-            xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
-            r0p = _r0_partial(gcol, xs, p.Cg)
-            r0pm = r0p * mrow[None, :] if p.modulated else r0p
-            arows = [wr_ref[p.row0[d] + dyvec[d], k, :]
-                     for d in range(p.nd)]
-            for d in range(p.nd):
-                dab = dwr_ref[p.row0[d] + dyvec[d], k, :]
-                for e in range(p.nd):
-                    if e != d:
-                        dab = dab * arows[e]
-                goff[d] = goff[d] + dab[None, :] * r0pm
+        # Hoisted inner products (dy0-invariant): arest = prod of inner
+        # corner rows, dvars[d] = derivative variant at inner axis d.
+        hoisted = []
+        for rows, inner in _inner_combos(p, k):
+            arest = None
+            for r in rows:
+                rr = wr_ref[r, k, :]
+                arest = rr if arest is None else arest * rr
+            dvars = []
+            for d in range(len(rows)):
+                q = None
+                for e, r in enumerate(rows):
+                    rr = (dwr_ref if e == d else wr_ref)[r, k, :]
+                    q = rr if q is None else q * rr
+                dvars.append(q)
+            hoisted.append((inner, arest, dvars))
+        for dy0 in range(p.W[0]):
+            lead = (p.tap_base[k][0] + p.lo[0] + dy0) * p.qstride[0]
+            s_a = None                   # sum_inner arest * r0p
+            s_q = [None] * (p.nd - 1)    # sum_inner dvars[d] * r0p
+            for inner, arest, dvars in hoisted:
+                delta = lead + inner
+                xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+                r0p = _r0_partial(gcol, xs, p.Cg)
+                ta = arest[None, :] * r0p
+                s_a = ta if s_a is None else s_a + ta
+                for d, q in enumerate(dvars):
+                    tq = q[None, :] * r0p
+                    s_q[d] = tq if s_q[d] is None else s_q[d] + tq
+            a0 = wr_ref[p.row0[0] + dy0, k, :]
+            da0 = dwr_ref[p.row0[0] + dy0, k, :]
+            s_am = s_a * mrow[None, :] if p.modulated else s_a
+            goff[0] = goff[0] + da0[None, :] * s_am
+            for d in range(p.nd - 1):
+                sqm = s_q[d] * mrow[None, :] if p.modulated else s_q[d]
+                goff[1 + d] = goff[1 + d] + a0[None, :] * sqm
             if p.modulated:
-                ab = arows[0]
-                for d in range(1, p.nd):
-                    ab = ab * arows[d]
-                gm = gm + ab[None, :] * r0p
+                gm = gm + a0[None, :] * s_a
         for d in range(p.nd):
             gs_ref[0, 0, k, d, :] = jnp.sum(goff[d], axis=0)
         if p.modulated:
