@@ -20,7 +20,10 @@ inputs are upcast to fp32 on the kernel paths — strictly more accurate
 than the reference's native-half arithmetic at fp32 cost; for half-class
 throughput with fp16 storage pass `precision="bfloat16"` (bf16 compute,
 fp32 accumulation).  fp64 requires `jax.enable_x64` and runs on the XLA
-path only.  Sampling coordinates always accumulate in >= fp32.
+path only: impl="auto" falls back to it, impl="pallas"/"shiftblend"
+raises NotImplementedError (never a silent downcast; tested in
+tests/test_behavior.py::test_float64_pallas_raises_auto_falls_back).
+Sampling coordinates always accumulate in >= fp32.
 """
 from __future__ import annotations
 

@@ -184,6 +184,35 @@ def test_float16_inputs_upcast():
     assert out.dtype == jnp.float16
 
 
+def test_float64_pallas_raises_auto_falls_back():
+    """Dtype-matrix edge (VERDICT r2 item 7): the reference dispatches
+    fp64 natively (deformable_conv.cu:99); here fp64 is an XLA-path-only
+    dtype — impl='pallas' must raise LOUDLY (no silent downcast), and
+    impl='auto' must fall back to the XLA path preserving float64."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    import modulated_deform_conv_tpu as mdc
+
+    rng = np.random.default_rng(5)
+    B, C, H, W, k = 1, 8, 6, 6, 3
+    K = k * k
+    with jax.enable_x64(True):
+        x = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.float64)
+        off = jnp.asarray(rng.uniform(-1, 1, (B, 2 * K, H, W)), jnp.float64)
+        w = jnp.asarray(rng.standard_normal((C, C, k, k)), jnp.float64)
+        with pytest.raises(NotImplementedError, match="dtype"):
+            mdc.deform_conv2d(x, off, w, None, stride=1, padding=1,
+                              impl="pallas")
+        with pytest.raises(NotImplementedError, match="dtype"):
+            mdc.deform_conv2d(x, off, w, None, stride=1, padding=1,
+                              impl="shiftblend", offset_bound=1.0)
+        out = mdc.deform_conv2d(x, off, w, None, stride=1, padding=1,
+                                impl="auto")
+        assert out.dtype == jnp.float64
+
+
 def test_row_chunked_path_matches(monkeypatch):
     """Very large volumes chunk the leading output dim in the XLA path;
     results (fwd and grads) must match the unchunked computation."""

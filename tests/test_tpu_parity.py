@@ -103,6 +103,16 @@ def _run_all(report=print):
     # themselves dominates the tolerance.
     case("2d_mod_bf16", "modulated_deform_conv2d", 2, 1, 32, 32, (16, 16),
          3, 1, 1, True, 1, both, dtype=jnp.bfloat16, tol=3e-2)
+    # fp16 (VERDICT r2 item 7): inputs upcast to f32 on the kernel paths
+    # (ops/api.py dtype policy) — STRICTLY more accurate than the
+    # reference's native-half arithmetic (deformable_conv.cu:99 computes
+    # the bilinear blend and column accumulation in half, ~1e-3 relative;
+    # here only the fp16 quantization of inputs/outputs remains, so the
+    # oracle gap is ~fp16 eps ~ 5e-4).
+    case("2d_mod_fp16", "modulated_deform_conv2d", 2, 1, 32, 32, (16, 16),
+         3, 1, 1, True, 1, both, dtype=jnp.float16, tol=4e-3)
+    case("3d_plain_fp16", "deform_conv3d", 3, 1, 16, 16, (6, 8, 16), 3, 1,
+         1, False, 1, both, dtype=jnp.float16, tol=4e-3)
     # stride-2: gathermm only (shiftblend is stride-1 by design)
     case("2d_mod_stride2_viaK5", "modulated_deform_conv2d", 2, 1, 16, 16,
          (17, 17), 5, 1, 1, True, 1, [("pallas", {})], offscale=1.5)
