@@ -177,9 +177,21 @@ class _Plan:
                   // 8 * 8)
         last = self.S[-1]
         unit = (last * 8) // math.gcd(last, 8)   # lcm(S_last, 8)
-        if unit <= 2 * sch:
+        if unit <= 2 * sch or (unit * self.KP * 4 <= _a_chunk_budget()
+                               and unit <= 2 * window):
+            # Align to (at least) one full last-dim period so periodic
+            # A-factors hoist out of the chunk loop — r3: also round UP
+            # to one period when affordable (tiny heuristic chunks on
+            # small planes, e.g. the 7x7 ResNet c5 stage, +3% measured).
             sch = max(unit, sch // unit * unit)
-        if _SCH_OVERRIDE:
+        if _SCH_OVERRIDE == -2:
+            # autotune sentinel: double the heuristic chunk (capped by the
+            # A-chunk budget) — measured +10% fwd+bwd on the ResNet c3
+            # stage, neutral-to-negative elsewhere (benchmarks/
+            # sweep_cfg5.py r3), hence opt-in via utils/autotune.py.
+            sch = min(2 * sch,
+                      _a_chunk_budget() // (self.KP * 4) // 8 * 8)
+        elif _SCH_OVERRIDE:
             sch = _SCH_OVERRIDE // 8 * 8
         self.SCH = min(sch, -(-self.Sflat // 8) * 8)
         self.SPAD = -(-self.Sflat // self.SCH) * self.SCH

@@ -1,0 +1,118 @@
+"""One-shot micro-autotune for the gathermm plan knobs (VERDICT r2 item 5
+— the runtime analog of the reference's edit-config.h-and-reinstall
+CUDA_NUM_THREADS tuning, config.h:32-33 / README.md "Speed Optimization").
+
+`autotune_sch(op_fn, args, variants)` times the op once per knob variant
+on the current device and caches the winner per (device_kind, shape-key)
+— in-process and optionally on disk (MDC_AUTOTUNE_CACHE=path).  It is
+opt-in: dispatch never times anything behind the user's back; the plan
+defaults come from the measured per-device-kind table (utils/device.py).
+
+Typical use (see benchmarks/sweep_cfg5.py for the measurement series that
+motivated the default variants):
+
+    from modulated_deform_conv_tpu.utils import autotune
+    best = autotune.autotune_sch(
+        lambda: mdc.modulated_deform_conv2d(x, off, m, w, b, padding=1),
+        key=f"c3_{x.shape}")
+    # best = {"SCH": 112} — applied for subsequent calls in this process
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+_CACHE: Dict[str, Dict[str, int]] = {}
+
+
+def _cache_path() -> Optional[str]:
+    return os.environ.get("MDC_AUTOTUNE_CACHE")
+
+
+def _load_disk() -> Dict[str, Dict[str, int]]:
+    path = _cache_path()
+    if path and os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            return {}
+    return {}
+
+
+def _save_disk(cache: Dict[str, Dict[str, int]]) -> None:
+    path = _cache_path()
+    if path:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+
+
+def _device_key() -> str:
+    import jax
+    try:
+        return str(getattr(jax.devices()[0], "device_kind", "cpu"))
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+def _apply(overrides: Dict[str, int]) -> None:
+    from ..ops.pallas import gathermm as gm
+    gm._SCH_OVERRIDE = int(overrides.get("SCH", 0))
+    gm._PT_OVERRIDE = int(overrides.get("PT", 0))
+    gm._K0_OVERRIDE = int(overrides.get("K0", 0))
+
+
+def _time_once(fn: Callable[[], object], reps: int = 3) -> float:
+    import numpy as np
+    out = fn()                                   # compile + warm
+    np.asarray(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def autotune_sch(fn: Callable[[], object], key: str,
+                 variants: Sequence[Dict[str, int]] = (
+                     {}, {"SCH": -2}),
+                 reps: int = 3) -> Dict[str, int]:
+    """Pick the fastest gathermm knob variant for `fn` and pin it.
+
+    `fn` is a nullary callable running the op (jitted or not); `key`
+    identifies the workload (include the shape).  A variant is a dict of
+    plan overrides; `{"SCH": -2}` means "double the heuristic chunk size"
+    (the one knob that measured +10% on the ResNet-stage shapes,
+    benchmarks/sweep_cfg5.py r3).  The winner is cached per
+    (device_kind, key) in-process and in MDC_AUTOTUNE_CACHE when set, and
+    left APPLIED as the module override on return.
+    """
+    from ..ops.pallas import gathermm as gm
+    full_key = f"{_device_key()}::{key}"
+    cached = _CACHE.get(full_key) or _load_disk().get(full_key)
+    if cached is not None:
+        _apply(cached)
+        return cached
+
+    saved = (gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE)
+    best_t, best_v = float("inf"), {}
+    try:
+        for var in variants:
+            _apply(var)     # SCH=-2 is resolved inside the plan (2x)
+            t = _time_once(fn, reps)
+            if t < best_t:
+                best_t, best_v = t, dict(var)
+    finally:
+        gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE = saved
+    _CACHE[full_key] = best_v
+    disk = _load_disk()
+    disk[full_key] = best_v
+    _save_disk(disk)
+    _apply(best_v)
+    return best_v
