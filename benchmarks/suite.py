@@ -93,7 +93,15 @@ def run_case(case, impl, iters, skip_slow_xla=False):
         return sum(jnp.sum(g) for g in gs)
 
     t_f = measure_amortized(fwd, tuple(args), iters, n_lo=2, n_hi=12)
+    if t_f < 3e-4:
+        # sub-0.3ms steps: a 10-step chain slope is below the tunnel's
+        # timing noise (r3: cfg1 read 0.01-0.08 ms across runs) — use a
+        # 72-step slope instead.
+        t_f = measure_amortized(fwd, tuple(args), iters, n_lo=8, n_hi=80)
     t_fb = measure_amortized(fwdbwd, tuple(args), iters, n_lo=2, n_hi=12)
+    if t_fb < 3e-4:
+        t_fb = measure_amortized(fwdbwd, tuple(args), iters, n_lo=8,
+                                 n_hi=80)
     return {"fwd_ms": t_f * 1e3, "fwdbwd_ms": t_fb * 1e3,
             "samples_per_s_fwdbwd": case["batch"] / t_fb}
 

@@ -63,6 +63,28 @@ def test_grads_match_oracle_2d():
 
 
 @pytest.mark.slow
+def test_grads_match_oracle_2d_plain():
+    """Non-modulated 2D backward (coverage gap found in r3: the modulated
+    variants exercised different sweep-2 branches)."""
+    spec, x, off, m, w = _inputs(2, 1, 8, (6, 7), 3, 1, 1, False, 1.5)
+
+    def loss_sb(x, off, w):
+        mm = jnp.zeros((0,), jnp.float32)
+        return jnp.sum(jnp.square(sb.shift_conv(
+            x, off, mm, w, jnp.float32(0), spec, "float32", 2.0)))
+
+    def loss_ref(x, off, w):
+        return jnp.sum(jnp.square(core.deform_conv_nd(
+            x, off, None, w, None, spec)))
+
+    g1 = jax.grad(loss_sb, argnums=(0, 1, 2))(x, off, w)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, off, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_grads_match_oracle_3d():
     spec, x, off, m, w = _inputs(3, 1, 8, (4, 5, 6), 3, 1, 1, False, 0.45)
 
