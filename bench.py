@@ -81,6 +81,35 @@ def measure_amortized(step, args, iters, n_lo=2, n_hi=12):
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
+# Pinned roofline denominators per device kind (public spec-sheet figures;
+# see the TPU chapters of jax-ml.github.io/scaling-book).  The r2/r3 runs
+# derived the roofline from per-run microbenches, which swung the measured
+# HBM bandwidth 577->780 GB/s round-over-round with no kernel change and
+# made vs_baseline noise-driven (ADVICE r3).  The denominator is now a
+# per-device-kind constant — measured microbench values are still recorded
+# alongside for observability, and unknown device kinds fall back to them.
+# matmul figure = bf16 MXU peak (what default-precision f32 matmuls lower
+# to on TPU; the on-chip measured value here is 184-201 TF/s vs 197 spec).
+_ROOFLINE_SPECS = {
+    # kind substring: (matmul FLOP/s, HBM bytes/s)
+    "v5 lite": (197e12, 819e9),   # v5e
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v6": (918e12, 1640e9),       # Trillium
+    "v4": (275e12, 1228e9),
+    "v3": (123e12, 900e9),
+}
+
+
+def pinned_roofline(device_kind: str):
+    """(matmul FLOP/s, HBM B/s) for the device kind, or None if unknown."""
+    norm = str(device_kind).lower().replace("tpu", "").strip()
+    for sub, spec in _ROOFLINE_SPECS.items():
+        if sub in norm:
+            return spec
+    return None
+
+
 def peak_matmul_flops(dtype, iters=8):
     """Measured on-chip matmul rate (FLOP/s) in `dtype` — the compute
     roofline denominator.  Uses chain differencing so the fixed dispatch
@@ -203,8 +232,19 @@ def main():
     gemm_flops_per_sample = 3 * 2 * OH * OW * O * (C // g) * K
     bytes_per_sample = 2 * 4 * (C * H * W + dg * 3 * K * OH * OW
                                 + O * OH * OW)
-    peak = peak_matmul_flops(dtype, iters=3 if args.quick else 8)
-    bw = peak_hbm_bandwidth(iters=3 if args.quick else 6)
+    peak_meas = peak_matmul_flops(dtype, iters=3 if args.quick else 8)
+    bw_meas = peak_hbm_bandwidth(iters=3 if args.quick else 6)
+    # Denominator: pinned spec constants per device kind so vs_baseline is
+    # comparable across rounds (the microbench values above swing ~±15%
+    # run-to-run through the tunnel and are recorded for observability
+    # only).  Unknown kinds fall back to the measured values.
+    pinned = pinned_roofline(getattr(dev, "device_kind", ""))
+    if pinned is not None and not args.cpu:
+        peak, bw = pinned
+        roofline_method = "pinned device-kind spec constants"
+    else:
+        peak, bw = peak_meas, bw_meas
+        roofline_method = "measured microbench (unknown device kind)"
     t_compute = gemm_flops_per_sample / peak
     t_memory = bytes_per_sample / bw
     roofline_samples_s = 1.0 / max(t_compute, t_memory)
@@ -222,8 +262,11 @@ def main():
         "fwdbwd_ms": t_fb * 1e3,
         "samples_per_s_fwd": samples_s_fwd,
         "samples_per_s_fwdbwd": samples_s,
-        "measured_peak_matmul_tflops": peak / 1e12,
-        "measured_hbm_bw_gbs": bw / 1e9,
+        "measured_peak_matmul_tflops": peak_meas / 1e12,
+        "measured_hbm_bw_gbs": bw_meas / 1e9,
+        "roofline_peak_matmul_tflops": peak / 1e12,
+        "roofline_hbm_bw_gbs": bw / 1e9,
+        "roofline_method": roofline_method,
         "gemm_flops_per_sample": gemm_flops_per_sample,
         "min_bytes_per_sample": bytes_per_sample,
         "roofline_samples_per_s": roofline_samples_s,
@@ -234,6 +277,7 @@ def main():
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/last_run.json", "w") as f:
         json.dump(details, f, indent=2)
+        f.write("\n")
 
     print(json.dumps({
         "metric": "DCNv2 3x3 fwd+bwd samples/s/chip (B=8 256ch 56^2 g=dg=4)",

@@ -39,7 +39,7 @@ _IMPLS = ("auto", "xla", "pallas", "shiftblend")
 
 def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str,
               precision: str = "tensorfloat32", out_sizes=None,
-              offset_bound=None):
+              offset_bound=None, gate_bounds=None):
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     if out_sizes is None:
@@ -51,11 +51,13 @@ def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str,
         fn = _pl.maybe_pallas(x, offset, mask, weight, bias, spec,
                               require=(impl in ("pallas", "shiftblend")),
                               precision=precision, out_sizes=out_sizes,
-                              offset_bound=offset_bound, impl=impl)
+                              offset_bound=offset_bound, impl=impl,
+                              gate_bounds=gate_bounds)
         if fn is not None:
             return fn
     return core.deform_conv_nd(x, offset, mask, weight, bias, spec,
-                               out_sizes=out_sizes, precision=precision)
+                               out_sizes=out_sizes, precision=precision,
+                               gate_bounds=gate_bounds)
 
 
 def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,

@@ -80,8 +80,8 @@ def _base_positions(spec: DeformConvSpec, out_sizes: Tuple[int, ...]):
 def deform_conv_columns(x: jax.Array, offset: jax.Array,
                         mask: Optional[jax.Array],
                         spec: DeformConvSpec,
-                        out_sizes: Optional[Tuple[int, ...]] = None
-                        ) -> jax.Array:
+                        out_sizes: Optional[Tuple[int, ...]] = None,
+                        gate_bounds=None) -> jax.Array:
     """Offset-driven gather producing the (virtual) column tensor.
 
     Args:
@@ -89,6 +89,13 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
       offset: (B, dg*ndim*K, *OS) learned fractional offsets.
       mask:   (B, dg*K, *OS) modulation scalars, or None.
       spec:   static op configuration.
+      gate_bounds: optional per-dim (lo, hi) scalars (may be traced)
+        replacing the default open-interval tap gate (-1, S_d).  Used by
+        the sharding layer: its halo-extended local blocks must gate taps
+        at the GLOBAL image border — the reference gate's subgradient is
+        zero exactly at pos == -1 / pos == S (deformable_conv.cu:78),
+        whereas a zero-filled halo row reproduces the value (zero) but
+        not the zero offset-gradient.
 
     Returns:
       columns (B, P, C, K) in fp32 sampling precision cast back to x.dtype,
@@ -113,10 +120,13 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
     off = offset.reshape(B, dg, K, nd, P).astype(acc)
     pos = base[None, None] + off                              # (B, dg, K, nd, P)
 
-    # Open-interval tap gate (-1, S_d) per dim (deformable_conv.cu:78).
+    # Open-interval tap gate (-1, S_d) per dim (deformable_conv.cu:78),
+    # overridable per dim by the sharding layer (global-coordinate gate).
     gate = jnp.ones(pos.shape[:3] + pos.shape[4:], jnp.bool_)  # (B, dg, K, P)
     for d in range(nd):
-        gate &= (pos[:, :, :, d] > -1.0) & (pos[:, :, :, d] < float(S[d]))
+        lo = -1.0 if gate_bounds is None else gate_bounds[d][0]
+        hi = float(S[d]) if gate_bounds is None else gate_bounds[d][1]
+        gate &= (pos[:, :, :, d] > lo) & (pos[:, :, :, d] < hi)
 
     low = jnp.floor(pos)
     frac = pos - low                                          # in [0, 1)
@@ -165,7 +175,8 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                     weight: jax.Array, bias: Optional[jax.Array],
                     spec: DeformConvSpec,
                     out_sizes: Optional[Tuple[int, ...]] = None,
-                    precision: str = "tensorfloat32") -> jax.Array:
+                    precision: str = "tensorfloat32",
+                    gate_bounds=None) -> jax.Array:
     """One un-chunked forward pass: columns gather + grouped MXU contraction."""
     B, C = x.shape[0], x.shape[1]
     OS = spec.out_sizes(x.shape[2:]) if out_sizes is None else tuple(out_sizes)
@@ -173,7 +184,8 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     K, g = spec.tap_count, spec.groups
     O = weight.shape[0]
 
-    cols = deform_conv_columns(x, offset, mask, spec, OS)  # (B, P, C, K)
+    cols = deform_conv_columns(x, offset, mask, spec, OS,
+                               gate_bounds=gate_bounds)    # (B, P, C, K)
     cols = cols.reshape(B, P, g, C // g, K)
     w = weight.reshape(g, O // g, C // g, K).astype(cols.dtype)
     # Grouped contraction == reference per-group addmm_ (deformable_conv.cu:176-180)
@@ -195,7 +207,8 @@ def _deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
 
 
 def _row_chunked(x, offset, mask, weight, bias, spec: DeformConvSpec,
-                 OS, nb0: int, precision: str = "tensorfloat32") -> jax.Array:
+                 OS, nb0: int, precision: str = "tensorfloat32",
+                 gate_bounds=None) -> jax.Array:
     """Evaluate the op in blocks of the leading output dim.
 
     Keeps the per-block column intermediate bounded for very large volumes
@@ -229,8 +242,11 @@ def _row_chunked(x, offset, mask, weight, bias, spec: DeformConvSpec,
         off_blk = off_blk.reshape((B, dg * spec.ndim * K) + blk_os)
         m_blk = (jax.lax.dynamic_slice_in_dim(mask_r, o0, blk0, axis=2)
                  .reshape((B, dg * K) + blk_os) if mask is not None else None)
+        # The block origin is folded into the offsets, so sample positions
+        # stay GLOBAL — gate bounds pass through unshifted.
         return _deform_conv_nd(x, off_blk, m_blk, weight, bias, spec,
-                               out_sizes=blk_os, precision=precision)
+                               out_sizes=blk_os, precision=precision,
+                               gate_bounds=gate_bounds)
 
     out = jax.lax.map(jax.checkpoint(block), jnp.arange(nb0))
     # (nb0, B, O, blk0, *rest) -> (B, O, OS0, *rest)
@@ -242,7 +258,8 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
                    weight: jax.Array, bias: Optional[jax.Array],
                    spec: DeformConvSpec,
                    out_sizes: Optional[Tuple[int, ...]] = None,
-                   precision: str = "tensorfloat32") -> jax.Array:
+                   precision: str = "tensorfloat32",
+                   gate_bounds=None) -> jax.Array:
     """Full forward with optional `in_step` micro-batch chunking.
 
     `in_step` is a pure memory knob: the effective chunk is
@@ -269,7 +286,7 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
         for nb0 in range(2, OS[0] + 1):
             if OS[0] % nb0 == 0 and total // nb0 <= _COL_BYTES_CAP:
                 return _row_chunked(x, offset, mask, weight, bias, spec,
-                                    OS, nb0, precision)
+                                    OS, nb0, precision, gate_bounds)
         if bytes_per_sample // OS[0] > _COL_BYTES_CAP:
             # Even a single output row's columns exceed the buffer budget:
             # batch chunking below cannot help, and proceeding would hit
@@ -282,7 +299,7 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
         step -= 1
     if step >= B or step <= 0:
         return _deform_conv_nd(x, offset, mask, weight, bias, spec, out_sizes,
-                               precision)
+                               precision, gate_bounds)
     nb = B // step
 
     # Rematerialize per-chunk columns in the backward instead of saving
@@ -292,7 +309,7 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     def chunk(args):
         xc, oc, mc = args
         return _deform_conv_nd(xc, oc, mc, weight, bias, spec, out_sizes,
-                               precision)
+                               precision, gate_bounds)
 
     xs = x.reshape((nb, step) + x.shape[1:])
     offs = offset.reshape((nb, step) + offset.shape[1:])
@@ -306,6 +323,7 @@ def deform_conv_nd(x: jax.Array, offset: jax.Array, mask: Optional[jax.Array],
     else:
         out = jax.lax.map(
             jax.checkpoint(lambda a: _deform_conv_nd(
-                a[0], a[1], None, weight, bias, spec, out_sizes, precision)),
+                a[0], a[1], None, weight, bias, spec, out_sizes, precision,
+                gate_bounds)),
             (xs, offs))
     return out.reshape((B,) + out.shape[2:])

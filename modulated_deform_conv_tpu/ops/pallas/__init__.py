@@ -33,19 +33,25 @@ def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
                  require: bool = False,
                  precision: str = "tensorfloat32",
-                 out_sizes=None, offset_bound=None, impl: str = "auto"):
+                 out_sizes=None, offset_bound=None, impl: str = "auto",
+                 gate_bounds=None):
     """Return the Pallas-kernel output, or None if unsupported.
 
     With require=True (impl="pallas"/"shiftblend"), raises instead of
     silently falling back when the config is ineligible.  `offset_bound`
     enables the shift-blend kernel (bounded-offset contract; see
-    shiftblend.py docstring).
+    shiftblend.py docstring).  `gate_bounds` (per-dim traced (lo, hi)
+    gate override, from the sharding layer) routes to the gathermm kernel
+    only — the shift-blend kernel carries its own global-gate mechanism
+    (the sharded lead mode), which the sharding layer calls directly.
     """
     from . import gathermm, shiftblend
     on_tpu = jax.default_backend() == "tpu"
 
     sb_reason = shiftblend.ineligible_reason(x, spec, offset_bound,
                                              out_sizes)
+    if gate_bounds is not None:
+        sb_reason = sb_reason or "gate_bounds override not supported"
     if impl == "shiftblend":
         if sb_reason is not None:
             if require:
@@ -69,7 +75,8 @@ def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,
                 x, offset, mask, weight, bias, spec, precision, offset_bound)
     if reason is None:
         return gathermm.deform_conv_fused(x, offset, mask, weight, bias,
-                                          spec, precision, out_sizes)
+                                          spec, precision, out_sizes,
+                                          gate_bounds)
     if require:
         raise NotImplementedError(
             f"pallas path unavailable for this config: {reason}"

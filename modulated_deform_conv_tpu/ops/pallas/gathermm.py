@@ -286,8 +286,15 @@ def _row_f(d):   # fraction row for dim d >= 1
     return 6 + 2 * (d - 1)
 
 
-def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan):
+def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan, gates=None):
     """XLA-side prep.
+
+    `gates` optionally overrides the open-interval tap gate with per-dim
+    (lo, hi) scalars, as an (nd, 2) f32 array (entries may be traced).
+    Used by the sharding layer, whose halo-extended local blocks must gate
+    taps at the GLOBAL image border (deformable_conv.cu:78 zeroes value
+    AND subgradient exactly at pos == -1 / pos == S; a zero-filled halo
+    row reproduces the value but not the zero offset-gradient).
 
     Returns:
       xp  (B, dg, SPAD, Cg)          channels-last plane, zero-padded
@@ -304,7 +311,9 @@ def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan):
 
     gate = jnp.ones((B, dg, K, p.P), jnp.bool_)
     for d in range(nd):
-        gate &= (pos[:, :, d] > -1.0) & (pos[:, :, d] < float(p.S[d]))
+        lo = -1.0 if gates is None else gates[d, 0]
+        hi = float(p.S[d]) if gates is None else gates[d, 1]
+        gate &= (pos[:, :, d] > lo) & (pos[:, :, d] < hi)
     low = jnp.floor(pos)
     frac = pos - low
 
@@ -712,41 +721,49 @@ def _plan_for(x, spec, out_sizes):
     return _Plan(spec, x.shape[0], x.shape[1], x.shape[2:], OS, x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_columns(x, offset, mask, spec: DeformConvSpec, precision: str,
-                  out_sizes=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_columns(x, offset, mask, gates, spec: DeformConvSpec,
+                  precision: str, out_sizes=None):
     """Deformable columns (B, dg, K, P, Cg) via the fused Pallas kernel.
 
     Differentiable in x / offset / mask with hand-written Pallas VJPs.
-    `mask` may be a zero-size placeholder for the plain (DCNv1) ops.
+    `mask` may be a zero-size placeholder for the plain (DCNv1) ops;
+    `gates` is a zero-size placeholder or an (nd, 2) f32 gate-bounds
+    override (see _prep) — a primal arg because its entries may be traced
+    (shard-index-dependent), with an identically-zero cotangent.
     `out_sizes` overrides the inferred output grid (used by the sharding
     layer, whose halo-extended local blocks are larger than the local
     output grid implies).
     """
-    return _fused_columns_impl(x, offset, mask, spec, precision, out_sizes)
+    return _fused_columns_impl(x, offset, mask, gates, spec, precision,
+                               out_sizes)
 
 
-def _fused_columns_impl(x, offset, mask, spec, precision, out_sizes=None):
+def _fused_columns_impl(x, offset, mask, gates, spec, precision,
+                        out_sizes=None):
     cd, prec = _resolve(precision)
     plan = _plan_for(x, spec, out_sizes)
     m = mask if (mask is not None and mask.size) else None
-    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    xp, pr, bnd = _prep(x, offset, m, spec, plan,
+                        gates if gates.size else None)
     cols_t = _fwd_call(xp, pr, bnd, plan, cd, prec)
     return _untile(cols_t, plan)
 
 
-def _fused_columns_fwd(x, offset, mask, spec, precision, out_sizes=None):
-    return _fused_columns_impl(x, offset, mask, spec, precision,
-                               out_sizes), (x, offset, mask)
+def _fused_columns_fwd(x, offset, mask, gates, spec, precision,
+                       out_sizes=None):
+    return _fused_columns_impl(x, offset, mask, gates, spec, precision,
+                               out_sizes), (x, offset, mask, gates)
 
 
 def _fused_columns_bwd(spec, precision, out_sizes, res, g):
-    x, offset, mask = res
+    x, offset, mask, gates = res
     cd, prec = _resolve(precision)
     plan = _plan_for(x, spec, out_sizes)
     p = plan
     m = mask if (mask is not None and mask.size) else None
-    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    xp, pr, bnd = _prep(x, offset, m, spec, plan,
+                        gates if gates.size else None)
     gcols_t = _retile(g.astype(jnp.float32), plan)
     gxp, gs = _bwd_call(xp, pr, bnd, gcols_t, plan, cd, prec)
     gs = gs.sum(axis=2)                   # reduce channel parts
@@ -762,7 +779,7 @@ def _fused_columns_bwd(spec, precision, out_sizes, res, g):
         gmask = jnp.zeros_like(mask) if mask is not None else None
     else:
         gmask = s[p.nd].reshape(mask.shape).astype(mask.dtype)
-    return gx, goff, gmask
+    return gx, goff, gmask, jnp.zeros_like(gates)
 
 
 fused_columns.defvjp(_fused_columns_fwd, _fused_columns_bwd)
@@ -795,13 +812,22 @@ def ineligible_reason(x, spec: DeformConvSpec,
 
 
 def deform_conv_fused(x, offset, mask, weight, bias, spec: DeformConvSpec,
-                      precision: str = "tensorfloat32", out_sizes=None):
+                      precision: str = "tensorfloat32", out_sizes=None,
+                      gate_bounds=None):
     """Full fused N-d deformable conv: Pallas columns + grouped MXU GEMM.
 
     Matches the reference host pipeline (deformable_conv.cu:117-196,
     deformable_conv3d.cu:160-256): per-group GEMM out[g] = W[g] @ cols[g]
-    plus bias broadcast."""
+    plus bias broadcast.  `gate_bounds` optionally overrides the tap gate
+    with per-dim (lo, hi) scalars (may be traced; see _prep)."""
     B, C = x.shape[0], x.shape[1]
+    if gate_bounds is None:
+        gates = jnp.zeros((0,), jnp.float32)
+    else:
+        gates = jnp.stack([
+            jnp.stack([jnp.asarray(lo, jnp.float32),
+                       jnp.asarray(hi, jnp.float32)])
+            for lo, hi in gate_bounds])
     OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
           else tuple(out_sizes))
     P = math.prod(OS)
@@ -826,13 +852,13 @@ def deform_conv_fused(x, offset, mask, weight, bias, spec: DeformConvSpec,
             sl = slice(i, i + bstep)
             m_sl = mask_arr[sl] if mask_arr.size else mask_arr
             chunks.append(fused_conv(x[sl], offset[sl], m_sl, weight,
-                                     spec, precision, g, osz))
+                                     gates, spec, precision, g, osz))
         out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
         if bias is not None:
             out = out + bias.astype(out.dtype).reshape(
                 (1, -1) + (1,) * spec.ndim)
         return out.astype(in_dtype)
-    cols = fused_columns(x, offset, mask_arr, spec, precision, OS)
+    cols = fused_columns(x, offset, mask_arr, gates, spec, precision, OS)
     # (B, dg, K, P, Cg) -> (B, P, g, C/g, K); channel c = d*Cg + cg.
     cols = cols.transpose(0, 3, 1, 4, 2).reshape(B, P, C, K)
     cols = cols.reshape(B, P, g, C // g, K)
@@ -1379,41 +1405,44 @@ def _gout_tiles(g_out, plan: _Plan, O, groups):
     return go.transpose(0, 1, 3, 2, 4)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def fused_conv(x, offset, mask, weight, spec: DeformConvSpec,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_conv(x, offset, mask, weight, gates, spec: DeformConvSpec,
                precision: str, groups: int, out_sizes=None):
     """Whole fused deformable conv (no bias): gather + grouped GEMM in one
     Pallas kernel, hand-written VJPs for x/offset/mask/weight.  When the
     plan's `save_cols` holds, the forward also emits the bf16 column tensor
-    as a residual so the backward skips its recompute matmul."""
-    return _fused_conv_impl(x, offset, mask, weight, spec, precision,
+    as a residual so the backward skips its recompute matmul.  `gates` is
+    a zero-size placeholder or an (nd, 2) f32 gate-bounds override (see
+    _prep; zero cotangent)."""
+    return _fused_conv_impl(x, offset, mask, weight, gates, spec, precision,
                             groups, out_sizes)[0]
 
 
-def _fused_conv_impl(x, offset, mask, weight, spec, precision, groups,
-                     out_sizes=None):
+def _fused_conv_impl(x, offset, mask, weight, gates, spec, precision,
+                     groups, out_sizes=None):
     cd, prec = _resolve(precision)
     OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
           else tuple(out_sizes))
     plan = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:], OS, x.dtype)
     O = weight.shape[0]
     m = mask if (mask is not None and mask.size) else None
-    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    xp, pr, bnd = _prep(x, offset, m, spec, plan,
+                        gates if gates.size else None)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, groups)
     outp, cols2 = _fused_conv_call(xp, pr, bnd, w2, plan, O // groups, cd,
                                    prec)
     return _out_from_partials(outp, plan, O, groups, OS), cols2
 
 
-def _fused_conv_fwd(x, offset, mask, weight, spec, precision, groups,
-                    out_sizes=None):
-    out, cols2 = _fused_conv_impl(x, offset, mask, weight, spec, precision,
-                                  groups, out_sizes)
-    return out, (x, offset, mask, weight, cols2)
+def _fused_conv_fwd(x, offset, mask, weight, gates, spec, precision,
+                    groups, out_sizes=None):
+    out, cols2 = _fused_conv_impl(x, offset, mask, weight, gates, spec,
+                                  precision, groups, out_sizes)
+    return out, (x, offset, mask, weight, gates, cols2)
 
 
 def _fused_conv_bwd(spec, precision, groups, out_sizes, res, g_out):
-    x, offset, mask, weight, cols2 = res
+    x, offset, mask, weight, gates, cols2 = res
     cd, prec = _resolve(precision)
     OS = (spec.out_sizes(x.shape[2:]) if out_sizes is None
           else tuple(out_sizes))
@@ -1421,7 +1450,8 @@ def _fused_conv_bwd(spec, precision, groups, out_sizes, res, g_out):
     p = plan
     O = weight.shape[0]
     m = mask if (mask is not None and mask.size) else None
-    xp, pr, bnd = _prep(x, offset, m, spec, plan)
+    xp, pr, bnd = _prep(x, offset, m, spec, plan,
+                        gates if gates.size else None)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, groups)
     gout_t = _gout_tiles(g_out, plan, O, groups)
     gxp, gs, gw = _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, cols2,
@@ -1442,7 +1472,7 @@ def _fused_conv_bwd(spec, precision, groups, out_sizes, res, g_out):
 
     gweight = _w2_unprep(gw.sum(axis=0), plan, O, groups, spec.kernel)
     gweight = gweight.astype(weight.dtype)
-    return gx, goff, gmask, gweight
+    return gx, goff, gmask, gweight, jnp.zeros_like(gates)
 
 
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)

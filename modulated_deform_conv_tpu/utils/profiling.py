@@ -102,17 +102,21 @@ counters = Counters()
 
 
 def halo_stats(spec: DeformConvSpec, x_shape: Sequence[int], halo: int,
-               n_spatial_shards: int, bytes_per_el: int = 4
-               ) -> Dict[str, float]:
+               n_spatial_shards: int, bytes_per_el: int = 4,
+               dim: int = 0) -> Dict[str, float]:
     """Analytic halo-exchange traffic of one sharded forward call.
 
-    Each interior spatial shard sends `halo` rows up and down (2 ppermute
-    payloads of halo * prod(S[1:]) * C elements); edge shards send one.
-    The backward transposes the exchange, doubling the traffic per
-    training step.
+    Each interior spatial shard sends `halo` rows up and down along
+    spatial dim `dim` (2 ppermute payloads of halo * prod(other spatial
+    dims) * C elements); edge shards send one.  The backward transposes
+    the exchange, doubling the traffic per training step.  For a 2-axis
+    spatial mesh call this once per sharded dim (the second exchange's
+    payload grows by the first dim's halo rows; pass the extended shape
+    for an exact figure).
     """
     C = x_shape[1]
-    rest = math.prod(x_shape[3:]) if len(x_shape) > 3 else 1
+    spatial = list(x_shape[2:])
+    rest = math.prod(spatial[:dim] + spatial[dim + 1:]) if spatial else 1
     B = x_shape[0]
     row_bytes = C * rest * bytes_per_el * B
     sends = 2 * (n_spatial_shards - 1)            # up + down ring edges

@@ -267,6 +267,91 @@ def test_spatial_shiftblend_lead_matches():
                                    rtol=3e-4, atol=3e-4, err_msg=name)
 
 
+def test_sharded_w_axis_matches_with_grads():
+    """Non-leading spatial axis (W) sharding: spatial_axis=(None, "space")
+    shards dim 1 with its own halo exchange; outputs and all five grads
+    match the unsharded op (sampling contract deformable_conv.cu:76-77)."""
+    x, off, mask, w, b = _case(H=8, W=16, seed=21)
+    mesh = make_mesh((2, 4), ("data", "space"))
+    kw = dict(stride=1, padding=1, groups=2, deformable_groups=2)
+
+    def unsharded(*a):
+        return modulated_deform_conv2d(*a, **kw)
+
+    def sharded(*a):
+        return sharded_modulated_deform_conv2d(
+            *a, mesh=mesh, max_offset=1.5, spatial_axis=(None, "space"),
+            **kw)
+
+    np.testing.assert_allclose(np.asarray(sharded(x, off, mask, w, b)),
+                               np.asarray(unsharded(x, off, mask, w, b)),
+                               rtol=2e-5, atol=2e-5)
+    g0 = jax.grad(lambda *a: unsharded(*a).var(), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    g1 = jax.grad(lambda *a: sharded(*a).var(), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    for name, a_, b_ in zip(["gx", "goff", "gmask", "gw", "gb"], g0, g1):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_sharded_2axis_spatial_mesh_matches_with_grads():
+    """(H, W) sharding on a 2-axis spatial mesh: two ring halo exchanges
+    (the second carries the first's halo rows, filling corner blocks);
+    outputs and grads match the unsharded op."""
+    x, off, mask, w, b = _case(H=16, W=8, seed=22)
+    mesh = make_mesh((2, 2, 2), ("data", "sh", "sw"))
+    kw = dict(stride=1, padding=1, groups=2, deformable_groups=2)
+
+    def unsharded(*a):
+        return modulated_deform_conv2d(*a, **kw)
+
+    def sharded(*a):
+        return sharded_modulated_deform_conv2d(
+            *a, mesh=mesh, max_offset=1.5, spatial_axis=("sh", "sw"), **kw)
+
+    np.testing.assert_allclose(np.asarray(sharded(x, off, mask, w, b)),
+                               np.asarray(unsharded(x, off, mask, w, b)),
+                               rtol=2e-5, atol=2e-5)
+    g0 = jax.grad(lambda *a: unsharded(*a).var(), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    g1 = jax.grad(lambda *a: sharded(*a).var(), argnums=(0, 1, 2, 3, 4))(
+        x, off, mask, w, b)
+    for name, a_, b_ in zip(["gx", "goff", "gmask", "gw", "gb"], g0, g1):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_sharded_3d_last_axis_matches():
+    """3D op sharded on the LAST spatial dim (L) — the non-leading-axis
+    contract at nd=3."""
+    from modulated_deform_conv_tpu import deform_conv3d
+    rng = np.random.default_rng(23)
+    B, C, O, k = 2, 2, 2, 3
+    S = (6, 6, 8)
+    K = k ** 3
+    x = jnp.asarray(rng.standard_normal((B, C) + S), jnp.float32)
+    off = jnp.asarray(rng.uniform(-1.0, 1.0, (B, 3 * K) + S), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((O, C, k, k, k)) * 0.3, jnp.float32)
+    want = deform_conv3d(x, off, w, None, stride=1, padding=1)
+    mesh = make_mesh((1, 8), ("data", "space"))
+    got = sharded_deform_conv3d(x, off, w, None, mesh=mesh, stride=1,
+                                padding=1, max_offset=1.0,
+                                spatial_axis=(None, None, "space"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_spatial_axis_too_many_dims_raises():
+    x, off, mask, w, b = _case()
+    mesh = make_mesh((1, 8), ("data", "space"))
+    with pytest.raises(ValueError, match="names 3 dims"):
+        sharded_modulated_deform_conv2d(
+            x, off, mask, w, b, mesh=mesh, stride=1, padding=1, groups=2,
+            deformable_groups=2, max_offset=1.0,
+            spatial_axis=(None, None, "space"))
+
+
 def test_batch_sharded_offset_bound_dispatch():
     """With max_offset > 0 the batch-sharded path forwards the bound as
     the kernel dispatch's offset_bound; forcing impl="shiftblend" must
@@ -281,3 +366,28 @@ def test_batch_sharded_offset_bound_dispatch():
                                    **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_zero_offset_edge_grads_match():
+    """Zero offsets put boundary taps exactly at the reference gate's
+    open-interval endpoint pos == -1 (deformable_conv.cu:78), where the
+    subgradient is zero; a zero-filled halo row reproduces the value but
+    not the zero offset-gradient.  The sharded path must pass the GLOBAL
+    gate through (gate_bounds) so offset grads match the unsharded op."""
+    x, off0, mask, w, b = _case(H=8, W=8, seed=31)
+    off = jnp.zeros_like(off0)
+    mesh = make_mesh((1, 8), ("data", "space"))
+    kw = dict(stride=1, padding=1, groups=2, deformable_groups=2)
+
+    def loss_un(x, off, mask, w, b):
+        return jnp.mean(modulated_deform_conv2d(x, off, mask, w, b, **kw))
+
+    def loss_sh(x, off, mask, w, b):
+        return jnp.mean(sharded_modulated_deform_conv2d(
+            x, off, mask, w, b, mesh=mesh, max_offset=1.0, **kw))
+
+    want = jax.grad(loss_un, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    got = jax.grad(loss_sh, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    for name, gw, gg in zip(("x", "off", "mask", "w", "b"), want, got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=3e-5, atol=3e-6, err_msg=name)
