@@ -221,16 +221,21 @@ class SBPlan:
         self.row0 = tuple(int(cum[d]) for d in range(nd))
         self.NW = int(cum[nd])
 
-        # Residual policies: saving the pre-mask columns (and the compact
-        # coefficient rows) trades HBM for backward recompute — the same
-        # tradeoff the reference makes by recomputing columns in its
-        # gradient kernel (deformable_conv.cu:285).  For large volumes the
-        # residuals don't fit; the backward then recomputes them (columns
-        # in-kernel — loop path only — and coefficients in XLA prep).
+        # Offset/mask gradient rows emitted by the backward: nd offset
+        # rows plus the mask row (r4: was a fixed 8-row slab — 33MB/step
+        # of dead HBM writes on cfg2).
+        self.NRS = nd + (1 if self.modulated else 0)
+
+        # Residual policy: saving the pre-mask columns trades HBM for
+        # backward recompute — the same tradeoff the reference makes by
+        # recomputing columns in its gradient kernel
+        # (deformable_conv.cu:285).  For large volumes the residual does
+        # not fit; the backward then recomputes it in-kernel (loop path
+        # only).  The compact coefficient rows are built IN-KERNEL from
+        # the raw offset/mask block since r4 (_build_cf) — no cf residual
+        # or HBM round-trip exists anymore.
         cols_bytes = self.B * self.dg * self.PPAD * self.K * self.Cg * 2
-        cf_bytes = self.B * self.dg * self.NRC * self.K * self.PPAD * 4
         self.save_cols = cols_bytes <= _RESIDUAL_BUDGET
-        self.save_cf = cf_bytes <= _RESIDUAL_BUDGET
         if not self.save_cols and self.loopable:
             self.unrolled = False     # col recompute lives in the loop path
 
@@ -273,6 +278,13 @@ def _coef_prep(offset, mask, spec: DeformConvSpec, plan: SBPlan,
                lead_origin=None):
     """Build compact coefficient rows cf (B, dg, NRC, K, PPAD) f32 and the
     output-coordinate rows coords (8, PPAD) f32.
+
+    NOTE (r4): the production kernels build these rows IN-KERNEL from the
+    raw offset/mask block (_build_cf) — on cfg2 the cf tensor was 33MB of
+    HBM written by this prep and re-read by both kernels, ~5x the bytes
+    of the offsets it derives from.  This XLA formulation is kept as the
+    executable spec of the row semantics (and for the r2/r3 benchmark
+    probe snapshots); it is no longer on the hot path.
 
     Per axis d: row `crel[d]` holds the integer corner anchor
     floor(pos) - base and row `cfr[d]` the fraction pos - floor(pos); row
@@ -325,6 +337,74 @@ def _coef_prep(offset, mask, spec: DeformConvSpec, plan: SBPlan,
     return cf, coords
 
 
+def _off_prep(offset, plan: SBPlan):
+    """(B, dg*K*nd, *OS) -> (B, dg, nd, K, PPAD) f32: axis-major offset
+    rows for the in-kernel compact-row build (_build_cf).  The reference
+    offset channel layout is nd*f + d per tap f (deformable_conv.cu:70-73,
+    deformable_conv3d.cu:101-103), i.e. (dg, K, nd)-major — one transpose
+    away."""
+    p = plan
+    off = offset.reshape(p.B, p.dg, p.K, p.nd, p.P).astype(jnp.float32)
+    off = off.transpose(0, 1, 3, 2, 4)
+    return jnp.pad(off, ((0, 0),) * 4 + ((0, p.PPAD - p.P),))
+
+
+def _mask_prep(mask, plan: SBPlan):
+    """(B, dg*K, *OS) -> (B, dg, K, PPAD) f32 (ones when mask is None but
+    the spec is modulated — the reference multiplies by an explicit ones
+    mask in that case)."""
+    p = plan
+    if mask is None:
+        return jnp.ones((p.B, p.dg, p.K, p.PPAD), jnp.float32)
+    m = mask.reshape(p.B, p.dg, p.K, p.P).astype(jnp.float32)
+    return jnp.pad(m, ((0, 0),) * 3 + ((0, p.PPAD - p.P),))
+
+
+def _coords_prep(plan: SBPlan, lead_origin=None):
+    """Output-coordinate rows coords (8, PPAD) f32 (row d = output
+    coordinate along axis d, plus the global row origin in lead-chunked
+    mode) for the in-kernel in-image corner checks."""
+    p = plan
+    flat = jax.lax.iota(jnp.int32, p.P)
+    coords = jnp.zeros((8, p.P), jnp.float32)
+    for d in range(p.nd):
+        ocoord = ((flat // p.qstride[d]) % p.OS[d]).astype(jnp.float32)
+        if d == 0 and lead_origin is not None:
+            ocoord = ocoord + lead_origin.astype(jnp.float32)
+        coords = coords.at[d].set(ocoord)
+    return jnp.pad(coords, ((0, 0), (0, p.PPAD - p.P)))
+
+
+def _build_cf(off_ref, mask_ref, co_ref, cf_ref, plan: SBPlan):
+    """Build the compact coefficient rows (NRC, K, BLK) in-kernel from the
+    raw offset/mask block (r4: replaces the XLA _coef_prep on the hot
+    path — same math, same f32, but the rows never touch HBM).
+
+    Per axis d: row crel[d] = floor(pos) - base, row cfr[d] the fraction;
+    row cgate the whole-tap open-interval gate (deformable_conv.cu:78);
+    row cmask the mask (mdeformable_conv.cu:83).  Cost ~nd*K*BLK VPU ops
+    per grid cell — noise next to the window sweep.  Padded output lanes
+    (p >= P) see zero offsets/coords and may produce junk rows; every
+    consumer is sliced to :P or multiplied by a zero-padded cotangent, so
+    the junk never propagates (same argument as the pre-r4 pad lanes)."""
+    p = plan
+    gate = None
+    for d in range(p.nd):
+        oc = co_ref[pl.ds(d, 1), :]                  # (1, BLK)
+        tapv = _tapvec(p, d)                         # (K, 1)
+        base = oc + tapv                             # (K, BLK)
+        pos = base + off_ref[0, 0, d]                # (K, BLK)
+        lim = float(p.S0_gate if d == 0 else p.S[d])
+        g = (pos > -1.0) & (pos < lim)
+        gate = g if gate is None else gate & g
+        fl = jnp.floor(pos)
+        cf_ref[p.crel[d]] = fl - base
+        cf_ref[p.cfr[d]] = pos - fl
+    cf_ref[p.cgate] = gate.astype(jnp.float32)
+    if p.modulated:
+        cf_ref[p.cmask] = mask_ref[0, 0]
+
+
 def _tapvec(plan: SBPlan, d: int):
     """(K, 1) f32 vector of tap anchors along axis d, built from iota
     (Pallas kernels may not capture host constants)."""
@@ -340,12 +420,13 @@ def _expand_rows(cf_ref, co_ref, w_ref, dw_ref, plan: SBPlan):
     """Expand the compact rows into per-(axis, dy) corner-weight rows for
     all K taps at once: w_ref[row0[d] + dy] = (K, BLK) weight row (and
     dw_ref the d(weight)/d(pos) rows when given).  Runs once per grid
-    cell; cost ~NW * K * BLK VPU ops, ~1% of the window sweep."""
+    cell; cost ~NW * K * BLK VPU ops, ~1% of the window sweep.  cf_ref is
+    the in-kernel (NRC, K, BLK) scratch filled by _build_cf."""
     p = plan
-    gate = cf_ref[0, 0, p.cgate]                           # (K, BLK)
+    gate = cf_ref[p.cgate]                                 # (K, BLK)
     for d in range(p.nd):
-        rel = cf_ref[0, 0, p.crel[d]]
-        fr = cf_ref[0, 0, p.cfr[d]]
+        rel = cf_ref[p.crel[d]]
+        fr = cf_ref[p.cfr[d]]
         oc = co_ref[pl.ds(d, 1), :]                        # (1, BLK)
         lim = float(p.S0_gate if d == 0 else p.S[d])
         tapv = _tapvec(p, d)                               # (K, 1)
@@ -451,21 +532,30 @@ def _pair_row(wr_ref, cf_ref, k, dyvec, plan: SBPlan, masked: bool):
     for d in range(1, p.nd):
         c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
     if masked and p.modulated:
-        c = c * cf_ref[0, 0, p.cmask, k, :]
+        c = c * cf_ref[p.cmask, k, :]
     return c
 
 
-def _fwd_kernel_cols(cf_ref, co_ref, x_ref, w2_ref, out_ref, cols_ref,
-                     acc2_ref, wr_ref, cp_ref, *, plan: SBPlan, prec, cd):
+def _fwd_kernel_cols(*refs, plan: SBPlan, prec, cd):
     """Unrolled forward: the delta-major register sweep stages the MASKED
     column matrix (K*Cg, BLK) in an f32 scratch, emits it (compact) as
     the columns output for the backward, and runs the grouped GEMM
     (reference deformable_conv.cu:174-180) from the f32 staging on the
     MXU — overlapping the column DMA-out.  Channel-blocked with per-tap
-    register accumulators; the per-pair coefficient rows (mask folded
-    in, mdeformable_conv.cu:83) are built once per cell."""
+    register accumulators; the compact coefficient rows are built
+    in-kernel from the raw offset/mask block (_build_cf, r4) and the
+    per-pair rows (mask folded in, mdeformable_conv.cu:83) once per
+    cell."""
     p = plan
+    if p.modulated:
+        (off_ref, mask_ref, co_ref, x_ref, w2_ref,
+         out_ref, cols_ref, acc2_ref, wr_ref, cp_ref, cf_ref) = refs
+    else:
+        (off_ref, co_ref, x_ref, w2_ref,
+         out_ref, cols_ref, acc2_ref, wr_ref, cp_ref, cf_ref) = refs
+        mask_ref = None
     t = pl.program_id(2)
+    _build_cf(off_ref, mask_ref, co_ref, cf_ref, p)
     _expand_rows(cf_ref, co_ref, wr_ref, None, p)
     fps = _flat_pairs(p)
     for idx, delta, k, dyvec in fps:
@@ -534,12 +624,11 @@ def _fill_cp_loop(cp_ref, wr_ref, cf_ref, plan: SBPlan):
         for r in rows[1:]:
             c = c * wr_ref[r, k, :]
         if p.modulated:
-            c = c * cf_ref[0, 0, p.cmask, k, :]
+            c = c * cf_ref[p.cmask, k, :]
         cp_ref[idx] = c
 
 
-def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
-                     plan: SBPlan, prec, cd, save_cols: bool):
+def _fwd_kernel_loop(*refs, plan: SBPlan, prec, cd, save_cols: bool):
     """Rolled-loop forward for large windows (3D): identical math to
     _fwd_kernel, with the leading window axis in a fori_loop.  The x
     window load is 128-aligned (qstride[0] % 128 == 0 guaranteed by the
@@ -553,12 +642,21 @@ def _fwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, out_ref, *rest,
     per (dz, pair); this form pays ~1/W_inner of one — measured ~1.25x
     end-to-end on cfg3."""
     p = plan
+    n_in = 5 if p.modulated else 4
+    ins, rest = refs[:n_in], refs[n_in:]
+    if p.modulated:
+        off_ref, mask_ref, co_ref, x_ref, w2_ref = ins
+    else:
+        (off_ref, co_ref, x_ref, w2_ref), mask_ref = ins, None
+    out_ref = rest[0]
+    rest = rest[1:]
     if save_cols:
-        cols_ref, acc_ref, acc2_ref, wr_ref, cp_ref = rest
+        cols_ref, acc_ref, acc2_ref, wr_ref, cp_ref, cf_ref = rest
     else:
         cols_ref = None
-        acc_ref, acc2_ref, wr_ref, cp_ref = rest
+        acc_ref, acc2_ref, wr_ref, cp_ref, cf_ref = rest
     t = pl.program_id(2)
+    _build_cf(off_ref, mask_ref, co_ref, cf_ref, p)
     _expand_rows(cf_ref, co_ref, wr_ref, None, p)
     _fill_cp_loop(cp_ref, wr_ref, cf_ref, p)
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -604,24 +702,52 @@ def _cols_dtype(precision: str):
     return jnp.float32 if precision == "float32" else jnp.bfloat16
 
 
-def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
-              save_cols: bool = False):
-    """Unrolled path: returns (None, cols) — masked columns only; the
-    grouped GEMM runs in XLA (see _cols_matmul).  Loop path (large 3D
-    windows): returns (outp, cols?) with the GEMM fused as before."""
+def _coef_in_specs(plan: SBPlan, fwd_grid: bool):
+    """BlockSpecs for the in-kernel coefficient build's raw inputs:
+    offr (B, dg, nd, K, PPAD) [+ maskr (B, dg, K, PPAD) when modulated]
+    + coords (8, PPAD).  fwd_grid: grid is (B, dg, NT); else (dg, B, NT)."""
+    p = plan
+    if fwd_grid:
+        bd5 = lambda b, d, t: (b, d, 0, 0, t)      # noqa: E731
+        bd4 = lambda b, d, t: (b, d, 0, t)         # noqa: E731
+        co2 = lambda b, d, t: (0, t)               # noqa: E731
+    else:
+        bd5 = lambda d, b, t: (b, d, 0, 0, t)      # noqa: E731
+        bd4 = lambda d, b, t: (b, d, 0, t)         # noqa: E731
+        co2 = lambda d, b, t: (0, t)               # noqa: E731
+    specs = [pl.BlockSpec((1, 1, p.nd, p.K, p.BLK), bd5,
+                          memory_space=pltpu.VMEM)]
+    if p.modulated:
+        specs.append(pl.BlockSpec((1, 1, p.K, p.BLK), bd4,
+                                  memory_space=pltpu.VMEM))
+    specs.append(pl.BlockSpec((8, p.BLK), co2, memory_space=pltpu.VMEM))
+    return specs
+
+
+def _coef_args(offr, maskr, co, plan: SBPlan):
+    return (offr,) + ((maskr,) if plan.modulated else ()) + (co,)
+
+
+def _cf_scratch(plan: SBPlan):
+    return pltpu.VMEM((plan.NRC, plan.K, plan.BLK), jnp.float32)
+
+
+def _fwd_call(xr, offr, maskr, co, w2, plan: SBPlan, Og: int,
+              precision: str, save_cols: bool = False):
+    """Unrolled path: returns (outp, cols) with the grouped GEMM fused at
+    the tail of the body (reads the f32 staging scratch; its operand DMA
+    overlaps the columns DMA-out).  Loop path (large 3D windows): returns
+    (outp, cols?) with the GEMM fused as before."""
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
+    coef_specs = _coef_in_specs(p, fwd_grid=True)
+    coef_args = _coef_args(offr, maskr, co, p)
     if p.unrolled:
         grid_spec = pl.GridSpec(
             grid=(p.B, p.dg, p.NT),
-            in_specs=[
-                pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
-                             lambda b, d, t: (b, d, 0, 0, t),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, p.BLK), lambda b, d, t: (0, t),
-                             memory_space=pltpu.VMEM),
+            in_specs=coef_specs + [
                 pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                              lambda b, d, t: (b, d, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -641,6 +767,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                 pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
                 pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
                 pltpu.VMEM((_round_up(p.n_pairs, 8), p.BLK), jnp.float32),
+                _cf_scratch(p),
             ],
         )
         out = pl.pallas_call(
@@ -655,7 +782,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_vmem_limit()),
             interpret=_interpret(),
-        )(cf, co, xr, w2)
+        )(*coef_args, xr, w2)
         return out[0], out[1]
 
     out_shapes = [jax.ShapeDtypeStruct((p.B, p.dg, Og, p.PPAD),
@@ -673,12 +800,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
                                       memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(p.B, p.dg, p.NT),
-        in_specs=[
-            pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
-                         lambda b, d, t: (b, d, 0, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, p.BLK), lambda b, d, t: (0, t),
-                         memory_space=pltpu.VMEM),
+        in_specs=coef_specs + [
             pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                          lambda b, d, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -695,6 +817,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
             pltpu.VMEM((_round_up(p.n_pairs // p.W[0], 8), p.BLK),
                        jnp.float32),
+            _cf_scratch(p),
         ],
     )
     out = pl.pallas_call(
@@ -704,7 +827,7 @@ def _fwd_call(xr, cf, co, w2, plan: SBPlan, Og: int, precision: str,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
-    )(cf, co, xr, w2)
+    )(*coef_args, xr, w2)
     return (out[0], out[1]) if save_cols else (out[0], None)
 
 
@@ -742,10 +865,12 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
     O = weight.shape[0]
     Og = O // spec.groups
     m = mask if (mask is not None and getattr(mask, "size", 1)) else None
-    cf, co = _coef_prep(offset, m, spec, plan)
+    offr = _off_prep(offset, plan)
+    maskr = _mask_prep(m, plan) if plan.modulated else None
+    co = _coords_prep(plan)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
-    outp, _ = _fwd_call(xr, cf, co, w2, plan, Og, precision)
+    outp, _ = _fwd_call(xr, offr, maskr, co, w2, plan, Og, precision)
     return _finish_out(outp, plan, O, spec.groups, bias, x.dtype)
 
 
@@ -754,10 +879,7 @@ def shift_conv_fwd_only(x, offset, mask, weight, bias, spec: DeformConvSpec,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
-                gx_ref, gs_ref, gw_ref,
-                gcols_ref, gxw_ref, wr_ref, dwr_ref, *, plan: SBPlan,
-                prec, cd):
+def _bwd_kernel(*refs, plan: SBPlan, prec, cd):
     """One output block of the backward.
 
     Computes, per (batch, dg-slab, block): grad_x scattered into the
@@ -765,9 +887,21 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
     replaces the reference's atomicAdd scatter, deformable_conv.cu:268-283),
     offset/mask gradient rows (analytic forms, deformable_conv.cu:281-283,
     mdeformable_conv.cu:295-315), and grad_weight accumulated on the MXU
-    (reference deformable_conv.cu:404-406).
+    (reference deformable_conv.cu:404-406).  The compact coefficient rows
+    are rebuilt in-kernel from the raw offset/mask block (_build_cf, r4 —
+    the reference recomputes its interpolation factors in the gradient
+    kernels the same way, deformable_conv.cu:254-283).
     """
     p = plan
+    if p.modulated:
+        (off_ref, mask_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
+         gx_ref, gs_ref, gw_ref,
+         gcols_ref, gxw_ref, wr_ref, dwr_ref, cf_ref) = refs
+    else:
+        (off_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
+         gx_ref, gs_ref, gw_ref,
+         gcols_ref, gxw_ref, wr_ref, dwr_ref, cf_ref) = refs
+        mask_ref = None
     # Grid is (dg, B, NT): dg outermost so every visit to a gw block
     # (indexed by dg alone) is CONSECUTIVE — Pallas only guarantees that
     # revisited output blocks retain their contents across consecutive
@@ -783,6 +917,7 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
     def _():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
+    _build_cf(off_ref, mask_ref, co_ref, cf_ref, p)
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
     # The kernel's two MXU dots sit at the head of the body where their
@@ -837,7 +972,7 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
     CB = 8
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
-        mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
+        mrow = cf_ref[p.cmask, k, :] if p.modulated else None
         goff = [jnp.zeros((CB, p.BLK), jnp.float32) for _ in range(p.nd)]
         gm = jnp.zeros((CB, p.BLK), jnp.float32) if p.modulated else None
         # Hoisted inner products (dy0-invariant): arest = prod of inner
@@ -884,8 +1019,7 @@ def _bwd_kernel(cf_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
             gs_ref[0, 0, k, p.nd, :] = jnp.sum(gm, axis=0)
 
 
-def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
-                     plan: SBPlan, prec, cd, has_cols: bool):
+def _bwd_kernel_loop(*refs, plan: SBPlan, prec, cd, has_cols: bool):
     """Rolled-loop backward (large windows / 3D): same math as the
     unrolled _bwd_kernel with the leading window axis in a fori_loop.
 
@@ -905,13 +1039,21 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     All dynamic window loads/stores are 128-aligned; inner shifts are
     static slices."""
     p = plan
+    n_in = 5 if p.modulated else 4
+    ins, rest = refs[:n_in], refs[n_in:]
+    if p.modulated:
+        off_ref, mask_ref, co_ref, x_ref, w2_ref = ins
+    else:
+        (off_ref, co_ref, x_ref, w2_ref), mask_ref = ins, None
+    gout_ref = rest[0]
+    rest = rest[1:]
     if has_cols:
         (cols_ref, gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
-         wr_ref, dwr_ref, cp_ref) = rest
+         wr_ref, dwr_ref, cp_ref, cf_ref) = rest
         colacc_ref = None
     else:
         (gx_ref, gs_ref, gw_ref, gcols_ref, gwin_ref,
-         wr_ref, dwr_ref, cp_ref, colacc_ref) = rest
+         wr_ref, dwr_ref, cp_ref, colacc_ref, cf_ref) = rest
         cols_ref = None
     # dg outermost: see _bwd_kernel on consecutive gw-block revisits.
     dgi, b, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -926,6 +1068,7 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     def _():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
+    _build_cf(off_ref, mask_ref, co_ref, cf_ref, p)
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     _fill_cp_loop(cp_ref, wr_ref, cf_ref, p)
     gout = gout_ref[0, 0].astype(cd)                       # (Og, BLK)
@@ -1009,7 +1152,7 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
     CB = 8
     for k in range(p.K):
         gcol = gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
-        mrow = cf_ref[0, 0, p.cmask, k, :] if p.modulated else None
+        mrow = cf_ref[p.cmask, k, :] if p.modulated else None
         off_base = p.IPAD
         combos = _inner_combos(p, k)
         # Hoisted per-combo inner products: arest (prod of inner rows),
@@ -1073,8 +1216,8 @@ def _bwd_kernel_loop(cf_ref, co_ref, x_ref, w2_ref, gout_ref, *rest,
             gs_ref[0, 0, k, p.nd, :] = jnp.sum(rows_out[p.nd], axis=0)
 
 
-def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
-                       precision: str, groups: int):
+def _bwd_call_unrolled(xr, offr, maskr, co, w2, goutp, cols, plan: SBPlan,
+                       Og: int, precision: str, groups: int):
     """Unrolled backward: in-kernel gcols/grad_weight dots + VPU sweeps;
     produces grad_x plane partials, the offset/mask gradient rows, and
     grad_weight slabs."""
@@ -1082,19 +1225,15 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
-    NRS = 8
     spg = p.dg // groups
+    coef_specs = _coef_in_specs(p, fwd_grid=False)
+    coef_args = _coef_args(offr, maskr, co, p)
     # Grid (dg, B, NT), dg outermost: the gw output block is indexed by
     # dg alone and accumulated across (B, NT), which is only safe when
     # all its visits are consecutive (see _bwd_kernel comment).
     grid_spec = pl.GridSpec(
         grid=(p.dg, p.B, p.NT),
-        in_specs=[
-            pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
-                         lambda d, b, t: (b, d, 0, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, p.BLK), lambda d, b, t: (0, t),
-                         memory_space=pltpu.VMEM),
+        in_specs=coef_specs + [
             pl.BlockSpec((1, 1, p.Cg, p.QPAD), lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Og, p.K * p.Cg), lambda d, b, t: (d, 0, 0),
@@ -1109,7 +1248,7 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
         out_specs=[
             pl.BlockSpec((1, 1, p.Cg, p.QPAD), lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p.K, NRS, p.BLK),
+            pl.BlockSpec((1, 1, p.K, p.NRS, p.BLK),
                          lambda d, b, t: (b, d, 0, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Og, p.K * p.Cg), lambda d, b, t: (d, 0, 0),
@@ -1120,6 +1259,7 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
             pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32),
             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+            _cf_scratch(p),
         ],
     )
     out = pl.pallas_call(
@@ -1127,34 +1267,30 @@ def _bwd_call_unrolled(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
-            jax.ShapeDtypeStruct((p.B, p.dg, p.K, NRS, p.PPAD),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.K, p.NRS, p.PPAD),
                                  jnp.float32),
             jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
-    )(cf, co, xr, w2, goutp, cols)
+    )(*coef_args, xr, w2, goutp, cols)
     return out[0], out[1], out[2]
 
 
-def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
+def _bwd_call(xr, offr, maskr, co, w2, goutp, cols, plan: SBPlan, Og: int,
               precision: str, groups: int):
     """Rolled-loop (large-window / 3D) backward with the fused MXU dots."""
     p = plan
     cd = _cdtype(precision)
     prec = (jax.lax.Precision.HIGHEST if precision == "float32"
             else jax.lax.Precision.DEFAULT)
-    NRS = 8
     spg = p.dg // groups                   # slabs per conv group
+    coef_specs = _coef_in_specs(p, fwd_grid=False)
+    coef_args = _coef_args(offr, maskr, co, p)
     # Grid (dg, B, NT), dg outermost: the gw output block is indexed by
     # dg alone and accumulated across (B, NT), which is only safe when
     # all its visits are consecutive (see _bwd_kernel comment).
-    in_specs = [
-        pl.BlockSpec((1, 1, p.NRC, p.K, p.BLK),
-                     lambda d, b, t: (b, d, 0, 0, t),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, p.BLK), lambda d, b, t: (0, t),
-                     memory_space=pltpu.VMEM),
+    in_specs = coef_specs + [
         pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                      lambda d, b, t: (b, d, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1177,7 +1313,7 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
             pl.BlockSpec((1, 1, p.Cg, p.QPAD),
                          lambda d, b, t: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p.K, NRS, p.BLK),
+            pl.BlockSpec((1, 1, p.K, p.NRS, p.BLK),
                          lambda d, b, t: (b, d, 0, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Og, p.K * p.Cg),
@@ -1192,18 +1328,19 @@ def _bwd_call(xr, cf, co, w2, goutp, cols, plan: SBPlan, Og: int,
              pltpu.VMEM((_round_up(p.n_pairs // p.W[0], 8), p.BLK),
                         jnp.float32)]
             + ([] if cols is not None else
-               [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)])),
+               [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32)])
+            + [_cf_scratch(p)]),
     )
     has_cols = cols is not None
     kern = functools.partial(_bwd_kernel_loop, plan=p, prec=prec,
                              cd=cd, has_cols=has_cols)
-    args = (cf, co, xr, w2, goutp) + ((cols,) if has_cols else ())
+    args = coef_args + (xr, w2, goutp) + ((cols,) if has_cols else ())
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((p.B, p.dg, p.Cg, p.QPAD), jnp.float32),
-            jax.ShapeDtypeStruct((p.B, p.dg, p.K, NRS, p.PPAD),
+            jax.ShapeDtypeStruct((p.B, p.dg, p.K, p.NRS, p.PPAD),
                                  jnp.float32),
             jax.ShapeDtypeStruct((p.dg, Og, p.K * p.Cg), jnp.float32),
         ],
@@ -1247,54 +1384,60 @@ def shift_conv(x, offset, mask, weight, origin, spec: DeformConvSpec,
     return out
 
 
+def _coef_inputs(offset, m, plan, lead, origin):
+    """Raw kernel inputs for the in-kernel coefficient build: cheap XLA
+    reshapes/pads of the primal offset/mask (rebuilt in the backward
+    rather than saved — they are views, not compute)."""
+    lead_origin = None if lead is None else jnp.asarray(origin, jnp.float32)
+    offr = _off_prep(offset, plan)
+    maskr = _mask_prep(m, plan) if plan.modulated else None
+    co = _coords_prep(plan, lead_origin=lead_origin)
+    return offr, maskr, co
+
+
 def _shift_conv_impl(x, offset, mask, weight, origin, spec, precision,
                      offset_bound, lead, save_cols):
     plan = _plan_of(x, spec, offset_bound, lead)
     O = weight.shape[0]
     Og = O // spec.groups
     m = mask if (mask is not None and mask.size) else None
-    lead_origin = None if lead is None else jnp.asarray(origin, jnp.float32)
-    cf, co = _coef_prep(offset, m, spec, plan, lead_origin=lead_origin)
+    offr, maskr, co = _coef_inputs(offset, m, plan, lead, origin)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
-    outp, cols = _fwd_call(xr, cf, co, w2, plan, Og, precision,
+    outp, cols = _fwd_call(xr, offr, maskr, co, w2, plan, Og, precision,
                            save_cols=save_cols)
     out = _finish_out(outp, plan, O, spec.groups, None, x.dtype)
-    return out, (cf, co, xr, w2, cols)
+    return out, cols
 
 
 def _shift_conv_fwd(x, offset, mask, weight, origin, spec, precision,
                     offset_bound, lead=None):
     plan = _plan_of(x, spec, offset_bound, lead)
-    out, (cf, co, xr, w2, cols) = _shift_conv_impl(
+    out, cols = _shift_conv_impl(
         x, offset, mask, weight, origin, spec, precision, offset_bound,
         lead, save_cols=plan.save_cols)
     return out, (x, offset, mask, weight, origin,
-                 (cf, co) if plan.save_cf else None,
                  cols if plan.save_cols else None)
 
 
 def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
-    x, offset, mask, weight, origin, cfco, cols = res
+    x, offset, mask, weight, origin, cols = res
     plan = _plan_of(x, spec, offset_bound, lead)
     p = plan
     m = mask if (mask is not None and mask.size) else None
-    if cfco is None:     # too large to save: rebuild (XLA prep recompute)
-        cfco = _coef_prep(offset, m, spec, plan,
-                          lead_origin=None if lead is None
-                          else jnp.asarray(origin, jnp.float32))
-    cf, co = cfco
+    offr, maskr, co = _coef_inputs(offset, m, plan, lead, origin)
     xr = _x_prep(x.astype(jnp.float32), plan)
     w2 = _w2_prep(weight.astype(jnp.float32), plan, spec.groups)
     O = weight.shape[0]
     Og = O // spec.groups
     goutp = _gout_prep(g, plan, O, spec.groups)
     if p.unrolled:
-        gxp, gs, gw2 = _bwd_call_unrolled(xr, cf, co, w2, goutp, cols,
-                                          plan, Og, precision, spec.groups)
+        gxp, gs, gw2 = _bwd_call_unrolled(xr, offr, maskr, co, w2, goutp,
+                                          cols, plan, Og, precision,
+                                          spec.groups)
     else:
-        gxp, gs, gw2 = _bwd_call(xr, cf, co, w2, goutp, cols, plan, Og,
-                                 precision, spec.groups)
+        gxp, gs, gw2 = _bwd_call(xr, offr, maskr, co, w2, goutp, cols,
+                                 plan, Og, precision, spec.groups)
 
     flat = math.prod(p.S)
     left = p.RPAD - p.lead_R * p.qstride[0]
