@@ -71,7 +71,7 @@ def case_specs():
     ]
 
 
-def run_case(case, impl, iters, skip_slow_xla=False):
+def run_case(case, impl, iters, skip_slow_xla=False, tune=False):
     import jax
     import jax.numpy as jnp
     import modulated_deform_conv_tpu as mdc
@@ -92,6 +92,29 @@ def run_case(case, impl, iters, skip_slow_xla=False):
         gs = jax.grad(fwd, argnums=tuple(range(nargs)))(*a)
         return sum(jnp.sum(g) for g in gs)
 
+    tuned = None
+    if tune and impl not in ("xla",):
+        # One-shot knob autotune (VERDICT r3 item 8): pick the plan-knob
+        # variant on an amortized fwd+bwd chain (single dispatches drown
+        # in the ~30ms tunnel latency), cache per (device_kind, case),
+        # and leave the winner applied for the timed run below.
+        from modulated_deform_conv_tpu.utils import autotune
+
+        def chain():
+            @jax.jit
+            def run(*a):
+                def body(c, _):
+                    pert = [q + c.astype(q.dtype) * 1e-30 for q in a]
+                    return fwdbwd(*pert).astype(a[0].dtype), ()
+                s, _ = jax.lax.scan(body, jnp.zeros((), a[0].dtype), None,
+                                    length=6)
+                return s
+            return run(*args)
+
+        variants = ({}, {"SCH": -2}, {"SB_BLK": 512}, {"SB_BLK": 1024})
+        tuned = autotune.autotune_sch(chain, key=f"{case['name']}_{impl}",
+                                      variants=variants, reps=2)
+
     t_f = measure_amortized(fwd, tuple(args), iters, n_lo=2, n_hi=12)
     if t_f < 3e-4:
         # sub-0.3ms steps: a 10-step chain slope is below the tunnel's
@@ -102,8 +125,12 @@ def run_case(case, impl, iters, skip_slow_xla=False):
     if t_fb < 3e-4:
         t_fb = measure_amortized(fwdbwd, tuple(args), iters, n_lo=8,
                                  n_hi=80)
-    return {"fwd_ms": t_f * 1e3, "fwdbwd_ms": t_fb * 1e3,
-            "samples_per_s_fwdbwd": case["batch"] / t_fb}
+    row = {"fwd_ms": t_f * 1e3, "fwdbwd_ms": t_fb * 1e3,
+           "samples_per_s_fwdbwd": case["batch"] / t_fb}
+    if tuned is not None:
+        row["tuned"] = tuned
+        row["tune_key"] = f"{case['name']}_{impl}"
+    return row
 
 
 def main():
@@ -111,10 +138,15 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--impls", default="xla,pallas")
     ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--no-tune", action="store_true",
+                    help="skip the per-case knob autotune (tuning is the "
+                         "default on TPU; tuned knobs are recorded in the "
+                         "results JSON under 'tuned'/'tune_key')")
     args = ap.parse_args()
 
     import jax
     dev = jax.devices()[0]
+    tune = (not args.no_tune) and jax.default_backend() == "tpu"
     iters = 2 if args.quick else 5
     results = {"device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
                "cases": {}}
@@ -128,7 +160,7 @@ def main():
                 if args.only and args.only not in case["name"]:
                     break
                 t0 = time.time()
-                row[impl] = run_case(case, impl, iters)
+                row[impl] = run_case(case, impl, iters, tune=tune)
                 row[impl]["wall_s"] = round(time.time() - t0, 1)
                 log(f"{case['name']:38s} {impl:7s} "
                     f"fwd {row[impl]['fwd_ms']:8.2f} ms  "
@@ -144,6 +176,11 @@ def main():
             row["speedup_fwdbwd"] = round(
                 row["xla"]["fwdbwd_ms"] / row["pallas"]["fwdbwd_ms"], 2)
         results["cases"][case["name"]] = row
+        if tune:
+            # tuned overrides are module-global: reset between cases so a
+            # winner for one shape never silently applies to the next
+            from modulated_deform_conv_tpu.utils.autotune import _apply
+            _apply({})
         del case["args"]          # release device buffers before next case
         case = None
 

@@ -15,19 +15,34 @@ from .gathermm import PRECISIONS  # noqa: F401  (public)
 
 
 def _prefer_shiftblend(x, spec: DeformConvSpec, plan) -> bool:
-    """Measured dispatch policy (v5e, benchmarks/suite_results.json r2):
-    shift-blend wins across 2D (cfg1 ~15x-over-XLA, cfg2 25x) for narrow
-    channel slabs and across 3D (cfg3 7.4x; cfg4 is shift-blend-only via
-    leading-axis chunking); the structured-sparse MXU kernel (gathermm)
-    wins for wide channel slabs (C/dg > 128, cfg5 shapes), which
-    amortize its window sweep on the MXU — and the register sweep is a
-    compile bomb past C/dg ~256 anyway (see SBPlan.ineligible_reason).
-    The crossover resolves through the device profile (utils/device.py):
-    128 as measured on v5e, overridable via MDC_SB_CROSSOVER for other
-    chips."""
+    """Measured dispatch policy (v5e, benchmarks/suite_results.json r2,
+    updated r4): shift-blend wins across 2D (cfg1 ~15x-over-XLA, cfg2 25x)
+    for narrow channel slabs; the structured-sparse MXU kernel (gathermm)
+    wins for wide channel slabs (C/dg > 128, cfg5 shapes), which amortize
+    its window sweep on the MXU — and the register sweep is a compile bomb
+    past C/dg ~256 anyway (see SBPlan.ineligible_reason).  For 3D, the r4
+    planar gathermm mode (two-level lead-plane x in-plane chunk bounds)
+    wins at wide offset bounds — cfg3 at +-2: 16.2 ms fwd+bwd vs
+    shift-blend's 22.7 (its W^3 window grows cubically in the bound) —
+    while shift-blend keeps sub-pixel bounds (+-1: 0.92 ms fwd) and every
+    config gathermm cannot run (cfg4's VMEM-exceeding planes, via
+    leading-axis chunking).  The channel crossover resolves through the
+    device profile (utils/device.py): 128 as measured on v5e,
+    overridable via MDC_SB_CROSSOVER for other chips."""
     from ...utils.device import current_profile
     Cg = x.shape[1] // spec.deformable_groups
-    return Cg <= current_profile().sb_crossover_cg
+    if Cg > current_profile().sb_crossover_cg:
+        return False
+    if spec.ndim == 3 and plan is not None and max(plan.bounds) >= 1.5:
+        # Wide-bound 3D: planar gathermm's data-adaptive rectangle bounds
+        # beat the static cubic window (measured crossover between +-1
+        # and +-2 on v5e, benchmarks/ANALYSIS.md §3c r4).
+        from .gathermm import _Plan
+        gp = _Plan(spec, x.shape[0], x.shape[1], x.shape[2:],
+                   plan.OS, x.dtype)
+        if gp.planar:
+            return False
+    return True
 
 
 def maybe_pallas(x, offset, mask, weight, bias, spec: DeformConvSpec,

@@ -204,6 +204,62 @@ class _Plan:
         # Factor rows in pr: 5 + 2*(nd-1), padded to a sublane multiple.
         self.NR = 8 if self.nd == 2 else 16
 
+        # ---- 3D planar mode: two-level (lead-plane x in-plane) chunk
+        # bounds.  For nd == 3 the flat [lo, hi) window spans every
+        # intermediate lead plane WHOLE (flat q mixes the lead index with
+        # the in-plane index), so the sweep visits ~z_window * plane
+        # elements per (tile, tap-group).  Planar mode stores a
+        # [z_lo, z_hi) x [c_lo, c_hi) rectangle instead (bnd last dim 4)
+        # and the kernels loop in-plane chunks OUTER (dim-1/2 factor rows
+        # built once per chunk) and lead planes INNER (two cheap (1, KP)
+        # row selects per plane) — the r3 ANALYSIS §3c "2-level bound
+        # tables" idea.  The reference's 3D gather visits exactly 8
+        # corners per tap (deformable_conv3d.cu:54-119); this narrows the
+        # dense sweep toward that set without losing the MXU form.
+        self.planar = False
+        if self.nd == 3:
+            plane = self.qstride[0]
+            oplane = math.prod(self.OS[1:])
+            run = self.OS[-1]
+            # In-plane chunk: a divisor of the input plane (multiple of 8)
+            # near plane/8, so the c-range tracks the dim-1 window.
+            cands = [d for d in range(8, plane + 1, 8) if plane % d == 0]
+            if cands and plane >= 2 * min(cands):
+                tgt = _SCH_OVERRIDE if _SCH_OVERRIDE > 0 else max(
+                    128, plane // 8)
+                sch = min(cands, key=lambda d: abs(d - tgt))
+                # Output tile: whole dim-1 output rows of one lead plane
+                # (PT | oplane keeps tiles inside a single output plane, so
+                # each (tile, group) sees one z-window).
+                rdiv = [r for r in range(1, self.OS[1] + 1)
+                        if self.OS[1] % r == 0]
+                ptgt = _PT_OVERRIDE if _PT_OVERRIDE > 0 else 256
+                rows = min(rdiv, key=lambda r: abs(r * run - ptgt))
+                pt = rows * run
+                pt8 = -(-pt // 8) * 8
+                # Tap grouping: prefer groups sharing the lead kernel
+                # index (tight z-windows); KI divides K/kernel0.
+                ki_inner = self.K // spec.kernel[0]
+                kis = [d for d in range(1, ki_inner + 1) if ki_inner % d == 0]
+                if _K0_OVERRIDE:
+                    kis = [d for d in kis
+                           if self.K // d == _K0_OVERRIDE] or kis
+                ki = max((d for d in kis if d * pt8 <= _lane_budget()),
+                         default=1)
+                if pt8 == pt and ki * pt * sch * 4 <= 2 * _a_chunk_budget():
+                    self.planar = True
+                    self.PT = pt
+                    self.K0, self.KI = self.K // ki, ki
+                    self.KP = self.KI * self.PT
+                    self.NT = -(-self.P // self.PT)
+                    self.PPAD = self.NT * self.PT
+                    self.SCH = sch
+                    self.SPAD = self.Sflat       # SCH | plane | Sflat
+                    self.NCH = self.SPAD // self.SCH
+                    self.NCHP = plane // self.SCH     # chunks per plane
+                    self.hoist = [False] + [
+                        self.SCH % (self.S[d] * self.qstride_of(d)) == 0
+                        for d in range(1, self.nd)]
 
         # Channel-part split: when the (SPAD, Cg) plane exceeds the VMEM
         # residency budget, split channels across a grid dimension (the
@@ -219,6 +275,10 @@ class _Plan:
         self.stream = self.SPAD * self.CgP * 4 > _x_plane_budget()
         if self.stream:
             self.NCP, self.CgP = 1, self.Cg
+            # Streaming DMA loads are flat-chunk-indexed; the planar
+            # nested loop is not wired for them (stream configs are
+            # TPU-gated anyway, see ineligible_reason).
+            self.planar = False
 
         # Save bf16 columns as a forward residual when affordable: the
         # backward then skips its column-recompute matmul (1 of 3).  The
@@ -226,6 +286,9 @@ class _Plan:
         # a memory/compute tradeoff decided by residual size.
         cols_bytes = self.B * self.dg * self.NCP * self.PPAD * self.K * 2
         self.save_cols = cols_bytes <= 512 * 1024 * 1024
+
+        # Bound-table width: flat [lo, hi) vs planar rectangle.
+        self.BW = 4 if self.planar else 2
 
     def qstride_of(self, d):
         return self.qstride[d]
@@ -345,26 +408,54 @@ def _prep(x, offset, mask, spec: DeformConvSpec, plan: _Plan, gates=None):
     # the backward, where grad_mask = sum grad_col * unmasked value is
     # nonzero (reference mdeformable_conv.cu:315).
     act = (gl != 0.0) | (gh != 0.0)                       # (B, dg, K, P)
-    qlow = sum(low[:, :, d] * float(p.qstride[d]) for d in range(nd))
     big = jnp.float32(3e38)
-    qmin = jnp.where(act, qlow, big)
-    qmax = jnp.where(act, qlow + float(sum(p.qstride)), -big)
-    qmin = jnp.pad(qmin.reshape(B, dg, p.K0, p.KI, p.P),
-                   ((0, 0),) * 4 + ((0, p.PPAD - p.P),), constant_values=3e38)
-    qmax = jnp.pad(qmax.reshape(B, dg, p.K0, p.KI, p.P),
-                   ((0, 0),) * 4 + ((0, p.PPAD - p.P),),
-                   constant_values=-3e38)
-    qmin = qmin.reshape(B, dg, p.K0, p.KI, p.NT, p.PT).min(axis=(3, 5))
-    qmax = qmax.reshape(B, dg, p.K0, p.KI, p.NT, p.PT).max(axis=(3, 5))
-    qmin = qmin.transpose(0, 1, 3, 2)                     # (B, dg, NT, K0)
-    qmax = qmax.transpose(0, 1, 3, 2)
-    lo = (jnp.clip(qmin, 0.0, float(p.SPAD - 1)).astype(jnp.int32) // p.SCH)
-    hi = (jnp.clip(qmax, 0.0, float(p.SPAD - 1)).astype(jnp.int32)
-          // p.SCH) + 1
-    empty = qmax < -1e38
-    lo = jnp.where(empty, 0, lo)
-    hi = jnp.where(empty, 0, jnp.minimum(hi, p.NCH))
-    bnd = jnp.stack([lo, hi], axis=-1)
+
+    def _minmax(vlow, span):
+        """Per-(tile, tap-group) [min(vlow), max(vlow + span)] over active
+        lanes: (B, dg, K, P) -> two (B, dg, NT, K0)."""
+        vmin = jnp.where(act, vlow, big)
+        vmax = jnp.where(act, vlow + float(span), -big)
+        vmin = jnp.pad(vmin.reshape(B, dg, p.K0, p.KI, p.P),
+                       ((0, 0),) * 4 + ((0, p.PPAD - p.P),),
+                       constant_values=3e38)
+        vmax = jnp.pad(vmax.reshape(B, dg, p.K0, p.KI, p.P),
+                       ((0, 0),) * 4 + ((0, p.PPAD - p.P),),
+                       constant_values=-3e38)
+        vmin = vmin.reshape(B, dg, p.K0, p.KI, p.NT, p.PT).min(axis=(3, 5))
+        vmax = vmax.reshape(B, dg, p.K0, p.KI, p.NT, p.PT).max(axis=(3, 5))
+        return vmin.transpose(0, 1, 3, 2), vmax.transpose(0, 1, 3, 2)
+
+    if p.planar:
+        # Two-level rectangle: lead-plane range x in-plane chunk range.
+        # Corners per sample: lead z in {l0, l0+1}; in-plane flat m in
+        # [l1*S2 + l2, l1*S2 + l2 + S2 + 1] (the 4 in-plane corners).
+        plane = p.qstride[0]
+        zmin, zmax = _minmax(low[:, :, 0], 1)
+        mlow = low[:, :, 1] * float(p.S[2]) + low[:, :, 2]
+        mmin, mmax = _minmax(mlow, p.S[2] + 1)
+        empty = zmax < -1e38
+        z_lo = jnp.clip(zmin, 0.0, float(p.S[0] - 1)).astype(jnp.int32)
+        z_hi = jnp.clip(zmax, 0.0, float(p.S[0] - 1)).astype(jnp.int32) + 1
+        c_lo = (jnp.clip(mmin, 0.0, float(plane - 1)).astype(jnp.int32)
+                // p.SCH)
+        c_hi = (jnp.clip(mmax, 0.0, float(plane - 1)).astype(jnp.int32)
+                // p.SCH) + 1
+        zero = jnp.zeros_like(z_lo)
+        bnd = jnp.stack([jnp.where(empty, zero, z_lo),
+                         jnp.where(empty, zero, z_hi),
+                         jnp.where(empty, zero, c_lo),
+                         jnp.where(empty, zero, c_hi)], axis=-1)
+    else:
+        qlow = sum(low[:, :, d] * float(p.qstride[d]) for d in range(nd))
+        qmin, qmax = _minmax(qlow, sum(p.qstride))
+        lo = (jnp.clip(qmin, 0.0, float(p.SPAD - 1)).astype(jnp.int32)
+              // p.SCH)
+        hi = (jnp.clip(qmax, 0.0, float(p.SPAD - 1)).astype(jnp.int32)
+              // p.SCH) + 1
+        empty = qmax < -1e38
+        lo = jnp.where(empty, 0, lo)
+        hi = jnp.where(empty, 0, jnp.minimum(hi, p.NCH))
+        bnd = jnp.stack([lo, hi], axis=-1)
 
     x_cl = x.reshape(B, dg, p.Cg, p.Sflat)
     x_cl = jnp.moveaxis(x_cl, 2, 3)
@@ -391,6 +482,20 @@ def _factor_d(pr_k, qd, d):
     F = e0 * (1.0 - fd) + e1 * fd
     dF = e1 - e0
     return F, dF
+
+
+def _planar_f12(pr_k, qm, p, grads=False):
+    """Planar mode: in-plane (dims 1, 2) factor products at in-plane flat
+    positions qm (SCH, 1).  Returns F1*F2 and, with grads, the per-dim
+    derivative products dF1*F2 and F1*dF2 (all (SCH, KP) f32) — built once
+    per in-plane chunk and reused across the lead-plane loop."""
+    q1 = ((qm // p.qstride[1]) % p.S[1]).astype(jnp.float32)
+    q2 = (qm % p.S[2]).astype(jnp.float32)
+    F1, dF1 = _factor_d(pr_k, q1, 1)
+    F2, dF2 = _factor_d(pr_k, q2, 2)
+    if grads:
+        return F1 * F2, dF1 * F2, F1 * dF2
+    return F1 * F2, None, None
 
 
 def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
@@ -420,6 +525,41 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
         l0 = pr_k[_R_L0:_R_L0 + 1]
         lo = bnd_ref[0, 0, 0, kg, 0]
         hi = bnd_ref[0, 0, 0, kg, 1]
+
+        if p.planar:
+            plane = p.qstride[0]
+            c_lo = bnd_ref[0, 0, 0, kg, 2]
+            c_hi = bnd_ref[0, 0, 0, kg, 3]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+            def mbody(ci, _, pr_k=pr_k, svl=svl, svh=svh, l0=l0,
+                      lo=lo, hi=hi):
+                qm = qi + ci * p.SCH
+                F12, _, _ = _planar_f12(pr_k, qm, p)
+                FL = (svl * F12).astype(cd)
+                FH = (svh * F12).astype(cd)
+
+                def zbody(z, _, FL=FL, FH=FH, l0=l0, ci=ci):
+                    zf = z.astype(jnp.float32)
+                    zero = jnp.zeros((), cd)
+                    A = (jnp.where(l0 == zf, FL, zero)
+                         + jnp.where(l0 + 1.0 == zf, FH, zero))
+                    xc = x_ref[0, 0, 0,
+                               pl.ds(z * plane + ci * p.SCH, p.SCH),
+                               :].astype(cd)
+                    acc_ref[...] += jax.lax.dot_general(
+                        A, xc, (((0,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, zbody, 0)
+                return 0
+
+            jax.lax.fori_loop(c_lo, c_hi, mbody, 0)
+            cols_ref[0, 0, 0, 0, kg] = acc_ref[...].astype(cols_ref.dtype)
+            continue
+
         # Chunk-invariant factor product, pre-scaled by the two vertical
         # corner weights (see _fwd_fused_kernel).
         hp = None
@@ -521,6 +661,56 @@ def _bwd_kernel(bnd_ref, pr_ref, x_ref, gcols_ref, gx_ref, gs_ref,
         gcols = gcols_ref[0, 0, 0, 0, kg].astype(cd)     # (KP, CgP)
         lo = bnd_ref[0, 0, 0, kg, 0]
         hi = bnd_ref[0, 0, 0, kg, 1]
+
+        if p.planar:
+            plane = p.qstride[0]
+            c_lo = bnd_ref[0, 0, 0, kg, 2]
+            c_hi = bnd_ref[0, 0, 0, kg, 3]
+            sh_ref[...] = jnp.zeros_like(sh_ref)
+            sv = svl + svh
+
+            def mbody(ci, _, pr_k=pr_k, svl=svl, svh=svh, sv=sv, gl=gl,
+                      gh=gh, gcols=gcols, lo=lo, hi=hi):
+                qm = qi + ci * p.SCH
+                F12, P1, P2 = _planar_f12(pr_k, qm, p, grads=True)
+                l0 = pr_k[_R_L0:_R_L0 + 1]
+
+                def zbody(z, _, F12=F12, P1=P1, P2=P2, l0=l0, ci=ci):
+                    zf = z.astype(jnp.float32)
+                    m0 = l0 == zf
+                    m1 = l0 + 1.0 == zf
+                    zr = jnp.zeros((), jnp.float32)
+                    sel0 = jnp.where(m0, svl, zr) + jnp.where(m1, svh, zr)
+                    A = sel0 * F12
+                    sl = pl.ds(z * plane + ci * p.SCH, p.SCH)
+                    gxc = jax.lax.dot_general(
+                        A.astype(cd), gcols, (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                    xc = x_ref[0, 0, 0, sl, :].astype(cd)
+                    gx_ref[0, 0, 0, sl, :] += gxc
+                    M = jax.lax.dot_general(
+                        xc, gcols, (((1,), (1,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                    T = jnp.sum(F12 * M, axis=0, keepdims=True)
+                    dsel = jnp.where(m1, sv, zr) - jnp.where(m0, sv, zr)
+                    sh_ref[0:1] += dsel * T
+                    gsel = jnp.where(m0, gl, zr) + jnp.where(m1, gh, zr)
+                    sh_ref[p.nd:p.nd + 1] += gsel * T
+                    sh_ref[1:2] += sel0 * jnp.sum(P1 * M, axis=0,
+                                                  keepdims=True)
+                    sh_ref[2:3] += sel0 * jnp.sum(P2 * M, axis=0,
+                                                  keepdims=True)
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, zbody, 0)
+                return 0
+
+            jax.lax.fori_loop(c_lo, c_hi, mbody, 0)
+            gs_ref[0, 0, 0, 0, kg] = sh_ref[...]
+            continue
+
         hoisted = {}
         for d in range(1, p.nd):
             if p.hoist[d]:
@@ -597,7 +787,7 @@ def _fwd_call(xp, pr, bnd, plan: _Plan, cd, prec):
             # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
             # prefetch: prefetched arrays must fit SMEM whole, which caps
             # the grid at ~3k tiles (compile crash beyond).
-            pl.BlockSpec((1, 1, 1, p.K0, 2),
+            pl.BlockSpec((1, 1, 1, p.K0, p.BW),
                          lambda b, d, cp, t: (b, d, t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
@@ -652,7 +842,7 @@ def _bwd_call(xp, pr, bnd, gcols_t, plan: _Plan, cd, prec):
             # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
             # prefetch: prefetched arrays must fit SMEM whole, which caps
             # the grid at ~3k tiles (compile crash beyond).
-            pl.BlockSpec((1, 1, 1, p.K0, 2),
+            pl.BlockSpec((1, 1, 1, p.K0, p.BW),
                          lambda b, d, cp, t: (b, d, t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
@@ -966,6 +1156,50 @@ def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, *rest,
         l0 = pr_k[_R_L0:_R_L0 + 1]
         lo = bnd_ref[0, 0, 0, kg, 0]
         hi = bnd_ref[0, 0, 0, kg, 1]
+
+        if p.planar:
+            plane = p.qstride[0]
+            c_lo = bnd_ref[0, 0, 0, kg, 2]
+            c_hi = bnd_ref[0, 0, 0, kg, 3]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+            def mbody(ci, _, pr_k=pr_k, svl=svl, svh=svh, l0=l0,
+                      lo=lo, hi=hi):
+                qm = qi + ci * p.SCH
+                F12, _, _ = _planar_f12(pr_k, qm, p)
+                FL = (svl * F12).astype(cd)
+                FH = (svh * F12).astype(cd)
+
+                def zbody(z, _, FL=FL, FH=FH, l0=l0, ci=ci):
+                    zf = z.astype(jnp.float32)
+                    zero = jnp.zeros((), cd)
+                    A = (jnp.where(l0 == zf, FL, zero)
+                         + jnp.where(l0 + 1.0 == zf, FH, zero))
+                    xc = x_ref[0, 0, 0,
+                               pl.ds(z * plane + ci * p.SCH, p.SCH),
+                               :].astype(cd)
+                    acc_ref[...] += jax.lax.dot_general(
+                        xc, A, (((0,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, zbody, 0)
+                return 0
+
+            jax.lax.fori_loop(c_lo, c_hi, mbody, 0)
+            for ki in range(p.KI):
+                acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
+                    acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+            if p.save_cols:
+                cols2_ref[0, 0, 0, 0, kg] = acc2_ref[...].astype(
+                    cols2_ref.dtype)
+            w2k = w2_ref[0, 0, kg].astype(cd)           # (Og, KI*CgP)
+            oacc_ref[...] += jax.lax.dot_general(
+                w2k, acc2_ref[...].astype(cd), (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            continue
+
         # Pre-scale the chunk-invariant factor product by the two vertical
         # corner weights (one rounding, fewer per-chunk VPU passes; selects
         # below run in the compute dtype directly).
@@ -1112,6 +1346,72 @@ def _bwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, gout_ref, *rest,
         sh_ref[...] = jnp.zeros_like(sh_ref)
         if not p.save_cols:
             acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        if p.planar:
+            plane = p.qstride[0]
+            c_lo = bnd_ref[0, 0, 0, kg, 2]
+            c_hi = bnd_ref[0, 0, 0, kg, 3]
+            sv = svl + svh
+            l0p = pr_k[_R_L0:_R_L0 + 1]
+
+            def mbody(ci, _, pr_k=pr_k, svl=svl, svh=svh, sv=sv, gl=gl,
+                      gh=gh, gcols=gcols, l0=l0p, lo=lo, hi=hi):
+                qm = qi + ci * p.SCH
+                F12, P1, P2 = _planar_f12(pr_k, qm, p, grads=True)
+
+                def zbody(z, _, F12=F12, P1=P1, P2=P2, l0=l0, ci=ci,
+                          gcols=gcols):
+                    zf = z.astype(jnp.float32)
+                    m0 = l0 == zf
+                    m1 = l0 + 1.0 == zf
+                    zr = jnp.zeros((), jnp.float32)
+                    sel0 = (jnp.where(m0, svl, zr)
+                            + jnp.where(m1, svh, zr))
+                    A = (sel0 * F12).astype(cd)
+                    sl = pl.ds(z * plane + ci * p.SCH, p.SCH)
+                    xc = x_ref[0, 0, 0, sl, :].astype(cd)
+                    if not p.save_cols:
+                        acc_ref[...] += jax.lax.dot_general(
+                            xc, A, (((0,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32)
+                    gxc = jax.lax.dot_general(
+                        A, gcols, (((1,), (1,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                    gx_ref[0, 0, 0, sl, :] += gxc
+                    M = jax.lax.dot_general(
+                        xc, gcols, (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                    T = jnp.sum(F12 * M, axis=0, keepdims=True)
+                    dsel = (jnp.where(m1, sv, zr)
+                            - jnp.where(m0, sv, zr))
+                    sh_ref[0:1] += dsel * T
+                    gsel = jnp.where(m0, gl, zr) + jnp.where(m1, gh, zr)
+                    sh_ref[p.nd:p.nd + 1] += gsel * T
+                    sh_ref[1:2] += sel0 * jnp.sum(P1 * M, axis=0,
+                                                  keepdims=True)
+                    sh_ref[2:3] += sel0 * jnp.sum(P2 * M, axis=0,
+                                                  keepdims=True)
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, zbody, 0)
+                return 0
+
+            jax.lax.fori_loop(c_lo, c_hi, mbody, 0)
+            gs_ref[0, 0, 0, 0, kg] = sh_ref[...]
+            if p.save_cols:
+                cols2 = cols2_ref[0, 0, 0, 0, kg].astype(cd)
+            else:
+                for ki in range(p.KI):
+                    acc2_ref[pl.ds(ki * p.CgP, p.CgP), :] = \
+                        acc_ref[:, pl.ds(ki * p.PT, p.PT)]
+                cols2 = acc2_ref[...].astype(cd)
+            gw_ref[0, 0, 0, kg] += jax.lax.dot_general(
+                gout, cols2, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            continue
 
         all_hoisted = all(p.hoist[1:]) and p.nd >= 2
         # Reductions run in the compute dtype; in exact mode cd is f32.
@@ -1260,7 +1560,7 @@ def _fused_conv_call(xp, pr, bnd, w2, plan: _Plan, Og, cd, prec):
             # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
             # prefetch: prefetched arrays must fit SMEM whole, which caps
             # the grid at ~3k tiles (compile crash beyond).
-            pl.BlockSpec((1, 1, 1, p.K0, 2),
+            pl.BlockSpec((1, 1, 1, p.K0, p.BW),
                          lambda b, d, cp, t: (b, d, t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),
@@ -1323,7 +1623,7 @@ def _fused_conv_bwd_call(xp, pr, bnd, w2, gout_t, cols2, plan: _Plan, Og,
         # [lo, hi) chunk bounds live in SMEM per tile — NOT scalar
         # prefetch: prefetched arrays must fit SMEM whole, which caps
         # the grid at ~3k tiles (compile crash beyond).
-        pl.BlockSpec((1, 1, 1, p.K0, 2),
+        pl.BlockSpec((1, 1, 1, p.K0, p.BW),
                      lambda b, d, cp, t: (b, d, t, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1, p.K0, p.NR, p.KP),

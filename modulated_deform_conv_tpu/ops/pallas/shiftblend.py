@@ -56,6 +56,8 @@ from ...utils.device import current_profile
 _VMEM_LIMIT = None
 _X_RESIDENT_BUDGET = None
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (HBM, bwd)
+_BLK_OVERRIDE = 0                        # nonzero: force output-lane block
+                                         # cap (utils/autotune.py knob)
 
 
 def _vmem_limit() -> int:
@@ -198,6 +200,8 @@ class SBPlan:
         # keeps 512 so the per-tap register accumulators fit the
         # register file.
         cap = 1024 if (not self.unrolled and self.Cg <= 64) else 512
+        if _BLK_OVERRIDE:
+            cap = _round_up(_BLK_OVERRIDE, 128)
         self.BLK = min(cap, _round_up(self.P, 128))
         self.PPAD = _round_up(self.P, self.BLK)
         self.NT = self.PPAD // self.BLK

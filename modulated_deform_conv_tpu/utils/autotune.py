@@ -61,9 +61,11 @@ def _device_key() -> str:
 
 def _apply(overrides: Dict[str, int]) -> None:
     from ..ops.pallas import gathermm as gm
+    from ..ops.pallas import shiftblend as sb
     gm._SCH_OVERRIDE = int(overrides.get("SCH", 0))
     gm._PT_OVERRIDE = int(overrides.get("PT", 0))
     gm._K0_OVERRIDE = int(overrides.get("K0", 0))
+    sb._BLK_OVERRIDE = int(overrides.get("SB_BLK", 0))
 
 
 def _time_once(fn: Callable[[], object], reps: int = 3) -> float:
@@ -100,7 +102,9 @@ def autotune_sch(fn: Callable[[], object], key: str,
         _apply(cached)
         return cached
 
-    saved = (gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE)
+    from ..ops.pallas import shiftblend as sb
+    saved = (gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE,
+             sb._BLK_OVERRIDE)
     best_t, best_v = float("inf"), {}
     try:
         for var in variants:
@@ -109,7 +113,8 @@ def autotune_sch(fn: Callable[[], object], key: str,
             if t < best_t:
                 best_t, best_v = t, dict(var)
     finally:
-        gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE = saved
+        (gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE,
+         sb._BLK_OVERRIDE) = saved
     _CACHE[full_key] = best_v
     disk = _load_disk()
     disk[full_key] = best_v

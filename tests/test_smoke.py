@@ -38,8 +38,10 @@ def _case(nd, B, C, S, k, dg, modulated, offscale):
 
 def test_shiftblend_2d_smoke():
     spec, x, off, m, w = _case(2, 1, 8, (6, 7), 3, 1, True, 0.9)
-    ref = core.deform_conv_nd(x, off, m, w, None, spec)
-    got = sb.shift_conv_fwd_only(x, off, m, w, None, spec, "float32", 1.0)
+    ref = jax.jit(lambda *a: core.deform_conv_nd(*a, spec))(x, off, m, w,
+                                                            None)
+    got = jax.jit(lambda *a: sb.shift_conv_fwd_only(
+        *a, spec, "float32", 1.0))(x, off, m, w, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -50,8 +52,10 @@ def test_shiftblend_3d_smoke():
     # versions run minutes in interpreter mode — slow lane,
     # test_shiftblend.py).
     spec, x, off, m, w = _case(3, 1, 8, (3, 4, 5), 1, 1, False, 0.9)
-    ref = core.deform_conv_nd(x, off, None, w, None, spec)
-    got = sb.shift_conv_fwd_only(x, off, None, w, None, spec, "float32", 1.0)
+    ref = jax.jit(lambda *a: core.deform_conv_nd(*a, spec))(x, off, None,
+                                                            w, None)
+    got = jax.jit(lambda *a: sb.shift_conv_fwd_only(
+        *a, spec, "float32", 1.0))(x, off, None, w, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
