@@ -90,8 +90,18 @@ def _lane_budget() -> int:
     return _LANE_BUDGET if _LANE_BUDGET else current_profile().lane_budget
 
 
+_INTERPRET_OVERRIDE = None
+
+
 def _interpret() -> bool:
-    """Run the kernel in interpreter mode off-TPU (CPU tests)."""
+    """Run the kernel in interpreter mode off-TPU (CPU tests).
+
+    `_INTERPRET_OVERRIDE` forces the choice for callers that target CPU
+    devices from inside a live TPU-backend process (e.g.
+    __graft_entry__.dryrun_multichip building a virtual CPU mesh while
+    the axon tunnel owns the default backend)."""
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.default_backend() != "tpu"
 
 

@@ -58,6 +58,8 @@ _X_RESIDENT_BUDGET = None
 _RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (HBM, bwd)
 _BLK_OVERRIDE = 0                        # nonzero: force output-lane block
                                          # cap (utils/autotune.py knob)
+_PREROT_OVERRIDE = 0                     # 1 force on / -1 force off the
+                                         # pre-rotated x staging (r4 exp)
 
 
 def _vmem_limit() -> int:
@@ -80,7 +82,18 @@ def _x_resident_budget() -> int:
 # trip for their operands — both measured slower).
 
 
+_INTERPRET_OVERRIDE = None
+
+
 def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU tests).
+
+    `_INTERPRET_OVERRIDE` forces the choice for callers that target CPU
+    devices from inside a live TPU-backend process (e.g.
+    __graft_entry__.dryrun_multichip building a virtual CPU mesh while
+    the axon tunnel owns the default backend)."""
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.default_backend() != "tpu"
 
 
@@ -242,6 +255,20 @@ class SBPlan:
         self.save_cols = cols_bytes <= _RESIDUAL_BUDGET
         if not self.save_cols and self.loopable:
             self.unrolled = False     # col recompute lives in the loop path
+
+        # r4 experiment (ANALYSIS §3c "pre-rotated staging copies"): the
+        # unrolled backward's sweep-2 reads the x window at n_pairs
+        # lane-shifted (realigning) slices but only |deltas| of them are
+        # distinct (4.6x reuse on cfg2).  With prerot the kernel copies
+        # each distinct shift once into an aligned staging scratch and
+        # the sweep reads aligned slices.  MEASURED NEUTRAL on cfg2
+        # (3.94 vs 3.90 ms fwd+bwd A/B on the v5e chip, r4) — Mosaic
+        # already CSEs the per-distinct-shift realigns within the
+        # unrolled body, so the copies buy nothing; OFF by default,
+        # kept behind _PREROT_OVERRIDE=1 as the recorded experiment.
+        self.prerot = (_PREROT_OVERRIDE > 0 and nd == 2 and self.unrolled
+                       and self.Cg * len(self.deltas) * self.BLK * 4
+                       <= 12 * 1024 * 1024)
 
     def x_resident_bytes(self, itemsize: int) -> int:
         return self.Cg * self.QPAD * itemsize
@@ -900,12 +927,13 @@ def _bwd_kernel(*refs, plan: SBPlan, prec, cd):
     if p.modulated:
         (off_ref, mask_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
          gx_ref, gs_ref, gw_ref,
-         gcols_ref, gxw_ref, wr_ref, dwr_ref, cf_ref) = refs
+         gcols_ref, gxw_ref, wr_ref, dwr_ref, cf_ref, *rest) = refs
     else:
         (off_ref, co_ref, x_ref, w2_ref, gout_ref, cols_ref,
          gx_ref, gs_ref, gw_ref,
-         gcols_ref, gxw_ref, wr_ref, dwr_ref, cf_ref) = refs
+         gcols_ref, gxw_ref, wr_ref, dwr_ref, cf_ref, *rest) = refs
         mask_ref = None
+    stage_ref = rest[0] if p.prerot else None
     # Grid is (dg, B, NT): dg outermost so every visit to a gw block
     # (indexed by dg alone) is CONSECUTIVE — Pallas only guarantees that
     # revisited output blocks retain their contents across consecutive
@@ -924,6 +952,20 @@ def _bwd_kernel(*refs, plan: SBPlan, prec, cd):
     _build_cf(off_ref, mask_ref, co_ref, cf_ref, p)
     _expand_rows(cf_ref, co_ref, wr_ref, dwr_ref, p)
     xw = x_ref[0, 0, :, pl.ds(t * p.BLK, p.BLK + 2 * p.RPAD)]
+    if p.prerot:
+        # Pre-rotated staging (ANALYSIS §3c r4): pay each distinct lane
+        # shift's realign once, read aligned slices in the sweep below.
+        didx = {delta: i for i, delta in enumerate(p.deltas)}
+        for delta, i in didx.items():
+            stage_ref[:, i * p.BLK:(i + 1) * p.BLK] = \
+                xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+
+        def xs_at(delta):
+            i = didx[delta]
+            return stage_ref[:, i * p.BLK:(i + 1) * p.BLK]
+    else:
+        def xs_at(delta):
+            return xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
     # The kernel's two MXU dots sit at the head of the body where their
     # latency hides under the input DMAs (measured faster than XLA
     # round-trips through HBM): gcols = W2^T @ gout (reference
@@ -1001,7 +1043,7 @@ def _bwd_kernel(*refs, plan: SBPlan, prec, cd):
             s_q = [None] * (p.nd - 1)    # sum_inner dvars[d] * r0p
             for inner, arest, dvars in hoisted:
                 delta = lead + inner
-                xs = xw[:, p.RPAD + delta:p.RPAD + delta + p.BLK]
+                xs = xs_at(delta)
                 r0p = _r0_partial(gcol, xs, p.Cg)
                 ta = arest[None, :] * r0p
                 s_a = ta if s_a is None else s_a + ta
@@ -1264,7 +1306,8 @@ def _bwd_call_unrolled(xr, offr, maskr, co, w2, goutp, cols, plan: SBPlan,
             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
             _cf_scratch(p),
-        ],
+        ] + ([pltpu.VMEM((p.Cg, len(p.deltas) * p.BLK), jnp.float32)]
+             if p.prerot else []),
     )
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, plan=p, prec=prec, cd=cd),

@@ -155,7 +155,7 @@ class _SpatialShard:
 
 def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
                 shards, max_offset: float = 0.0, impl: str = "auto",
-                precision: str = "tensorfloat32"):
+                precision: str = "tensorfloat32", on_tpu=None):
     """Per-shard computation inside shard_map (2D or 3D).
 
     `shards` is a list of _SpatialShard, one per sharded spatial dim.  The
@@ -186,7 +186,12 @@ def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
                                          float(max_offset), sh.halo,
                                          S0_global)
         prefer = Cg <= 128 or impl == "shiftblend"
-        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu is None:
+            # Fallback only: callers pass the MESH devices' platform — the
+            # process default backend can be TPU (axon tunnel) while the
+            # mesh is virtual CPU devices (dryrun), where the compiled
+            # kernel path must not be taken.
+            on_tpu = jax.default_backend() == "tpu"
         if reason is None and prefer and (on_tpu or impl == "shiftblend"):
             i_shard = jax.lax.axis_index(sh.axis_name)
             origin = (i_shard * sh.out_local).astype(jnp.float32)
@@ -412,6 +417,12 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
     in_specs = [x_ps, off_ps] + ([mask_ps] if mask is not None else []) + \
         [w_ps] + ([b_ps] if bias is not None else [])
 
+    # The MESH devices' platform gates the compiled-kernel fast path (the
+    # process default backend may be a live TPU tunnel while the mesh is
+    # virtual CPU devices, e.g. __graft_entry__.dryrun_multichip).
+    mesh_on_tpu = all(d.platform == "tpu"
+                      for d in np.asarray(mesh.devices).flat)
+
     def fn(*args):
         if mask is not None:
             x_l, off_l, mask_l = args[0], args[1], args[2]
@@ -424,7 +435,7 @@ def sharded_deform_conv(x: jax.Array, offset: jax.Array,
         if shards:
             return _local_conv(x_l, off_l, mask_l, w_l, b_l, lspec, shards,
                                max_offset=max_offset, impl=impl,
-                               precision=precision)
+                               precision=precision, on_tpu=mesh_on_tpu)
         return ops_api._dispatch(
             x_l, off_l, mask_l, w_l, b_l, lspec, impl=impl,
             precision=precision,

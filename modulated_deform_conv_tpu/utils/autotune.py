@@ -109,7 +109,13 @@ def autotune_sch(fn: Callable[[], object], key: str,
     try:
         for var in variants:
             _apply(var)     # SCH=-2 is resolved inside the plan (2x)
-            t = _time_once(fn, reps)
+            try:
+                t = _time_once(fn, reps)
+            except Exception:
+                # A variant may be uncompilable for this config (e.g.
+                # SB_BLK=1024 at Cg > 64 crashes the TPU compiler) —
+                # skip it rather than failing the whole tune.
+                continue
             if t < best_t:
                 best_t, best_v = t, dict(var)
     finally:

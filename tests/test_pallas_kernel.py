@@ -282,3 +282,47 @@ def test_channel_part_split_matches(monkeypatch):
     for a, bb, name in zip(gsplit, gref, ["x", "offset", "mask"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-5, atol=1e-3, err_msg=name)
+
+
+def test_3d_planar_mode_matches_xla():
+    """r4 planar mode (two-level lead-plane x in-plane chunk bounds,
+    ANALYSIS §3c): a plane divisible by 8 triggers `_Plan.planar`; fwd and
+    all grads must match the XLA oracle on both the fused and the
+    columns (unfused, groups-forced) paths."""
+    B, C, S, k, dg = 1, 16, (5, 16, 16), 3, 1
+    K = k ** 3
+    for g in (1, 2):      # g=2 fails _fuse_ok -> columns path
+        spec = DeformConvSpec.make(3, (k,) * 3, 1, 1, 1, g, dg, 0,
+                                   modulated=True)
+        plan = gathermm._Plan(spec, B, C, S, spec.out_sizes(S), jnp.float32)
+        assert plan.planar, "config must exercise planar mode"
+        x = jnp.asarray(RNG.standard_normal((B, C) + S), jnp.float32)
+        off = jnp.asarray(RNG.uniform(-2, 2, (B, dg * 3 * K) + S),
+                          jnp.float32)
+        mask = jnp.asarray(RNG.uniform(0, 1, (B, dg * K) + S), jnp.float32)
+        w = jnp.asarray(RNG.standard_normal((C, C // g) + (k,) * 3) * 0.2,
+                        jnp.float32)
+
+        def loss(impl, g=g):
+            def f(x, off, mask, w):
+                o = mdc.modulated_deform_conv3d(
+                    x, off, mask, w, None, padding=1, groups=g,
+                    deformable_groups=dg, impl=impl, precision="float32")
+                return jnp.sum(o * jnp.cos(0.1 * o))
+            return f
+
+        outp = jax.jit(lambda *a: mdc.modulated_deform_conv3d(
+            *a, None, padding=1, groups=g, deformable_groups=dg,
+            impl="pallas", precision="float32"))(x, off, mask, w)
+        outx = jax.jit(lambda *a: mdc.modulated_deform_conv3d(
+            *a, None, padding=1, groups=g, deformable_groups=dg,
+            impl="xla"))(x, off, mask, w)
+        np.testing.assert_allclose(np.asarray(outp), np.asarray(outx),
+                                   rtol=3e-5, atol=3e-5)
+        gp = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3)))(
+            x, off, mask, w)
+        gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3)))(
+            x, off, mask, w)
+        for got, want, name in zip(gp, gx, ["x", "offset", "mask", "w"]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=5e-5, atol=5e-5, err_msg=name)
