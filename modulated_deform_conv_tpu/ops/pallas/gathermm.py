@@ -546,14 +546,17 @@ def _fwd_kernel(bnd_ref, pr_ref, x_ref, cols_ref, acc_ref, *scratch,
                       lo=lo, hi=hi):
                 qm = qi + ci * p.SCH
                 F12, _, _ = _planar_f12(pr_k, qm, p)
-                FL = (svl * F12).astype(cd)
-                FH = (svh * F12).astype(cd)
 
-                def zbody(z, _, FL=FL, FH=FH, l0=l0, ci=ci):
+                def zbody(z, _, F12=F12, l0=l0, ci=ci):
+                    # Corner weights collapse to a (1, KP) row per plane
+                    # (all rows of an in-plane chunk share q0 == z), so
+                    # the A build is ONE broadcast multiply — not two
+                    # full-size selects (same trick as the backward).
                     zf = z.astype(jnp.float32)
-                    zero = jnp.zeros((), cd)
-                    A = (jnp.where(l0 == zf, FL, zero)
-                         + jnp.where(l0 + 1.0 == zf, FH, zero))
+                    zr = jnp.zeros((), jnp.float32)
+                    sel0 = (jnp.where(l0 == zf, svl, zr)
+                            + jnp.where(l0 + 1.0 == zf, svh, zr))
+                    A = (sel0 * F12).astype(cd)
                     xc = x_ref[0, 0, 0,
                                pl.ds(z * plane + ci * p.SCH, p.SCH),
                                :].astype(cd)
@@ -1177,14 +1180,15 @@ def _fwd_fused_kernel(bnd_ref, pr_ref, x_ref, w2_ref, out_ref, *rest,
                       lo=lo, hi=hi):
                 qm = qi + ci * p.SCH
                 F12, _, _ = _planar_f12(pr_k, qm, p)
-                FL = (svl * F12).astype(cd)
-                FH = (svh * F12).astype(cd)
 
-                def zbody(z, _, FL=FL, FH=FH, l0=l0, ci=ci):
+                def zbody(z, _, F12=F12, l0=l0, ci=ci):
+                    # (1, KP) corner-weight row per plane -> one
+                    # broadcast multiply (see _fwd_kernel planar).
                     zf = z.astype(jnp.float32)
-                    zero = jnp.zeros((), cd)
-                    A = (jnp.where(l0 == zf, FL, zero)
-                         + jnp.where(l0 + 1.0 == zf, FH, zero))
+                    zr = jnp.zeros((), jnp.float32)
+                    sel0 = (jnp.where(l0 == zf, svl, zr)
+                            + jnp.where(l0 + 1.0 == zf, svh, zr))
+                    A = (sel0 * F12).astype(cd)
                     xc = x_ref[0, 0, 0,
                                pl.ds(z * plane + ci * p.SCH, p.SCH),
                                :].astype(cd)
