@@ -227,6 +227,13 @@ class _Plan:
         # corners per tap (deformable_conv3d.cu:54-119); this narrows the
         # dense sweep toward that set without losing the MXU form.
         self.planar = False
+        # Snapshot the flat-path tiling before the planar block mutates it:
+        # if the stream computation below vetoes planar, the flat/stream
+        # path must run with flat-derived tiling, not tiling sized against
+        # planar's relaxed 2x A-chunk budget (ADVICE r4).
+        _flat_tiling = (self.PT, self.K0, self.KI, self.KP, self.NT,
+                        self.PPAD, self.SCH, self.SPAD, self.NCH,
+                        list(self.hoist))
         if self.nd == 3:
             plane = self.qstride[0]
             oplane = math.prod(self.OS[1:])
@@ -288,7 +295,12 @@ class _Plan:
             # Streaming DMA loads are flat-chunk-indexed; the planar
             # nested loop is not wired for them (stream configs are
             # TPU-gated anyway, see ineligible_reason).
-            self.planar = False
+            if self.planar:
+                self.planar = False
+                (self.PT, self.K0, self.KI, self.KP, self.NT, self.PPAD,
+                 self.SCH, self.SPAD, self.NCH, self.hoist) = _flat_tiling
+                if hasattr(self, "NCHP"):
+                    del self.NCHP
 
         # Save bf16 columns as a forward residual when affordable: the
         # backward then skips its column-recompute matmul (1 of 3).  The

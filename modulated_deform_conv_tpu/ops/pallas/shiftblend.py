@@ -209,13 +209,22 @@ class SBPlan:
         # blocks for narrow slabs (its accumulator is a VMEM scratch,
         # and bigger blocks amortize the per-(dz, tap) window halo:
         # cfg3 +8% measured); at Cg > 64 the wider body crashes the
-        # remote TPU compiler (observed on cfg4), and the unrolled path
-        # keeps 512 so the per-tap register accumulators fit the
-        # register file.
-        cap = 1024 if (not self.unrolled and self.Cg <= 64) else 512
+        # remote TPU compiler (observed on cfg4).  The unrolled path
+        # picks the 128-multiple in [256, 768] that minimizes PPAD:
+        # pad lanes are pure sweep waste — cfg2's P=3136 pads 14% at
+        # BLK=512 but 2% at BLK=640, measured ~9% faster end-to-end
+        # (r5 A/B, benchmarks/ab_cfg2_r5.py); ties break toward 512
+        # (register-file comfort for the per-tap accumulators).
         if _BLK_OVERRIDE:
-            cap = _round_up(_BLK_OVERRIDE, 128)
-        self.BLK = min(cap, _round_up(self.P, 128))
+            self.BLK = min(_round_up(_BLK_OVERRIDE, 128),
+                           _round_up(self.P, 128))
+        elif not self.unrolled:
+            cap = 1024 if self.Cg <= 64 else 512
+            self.BLK = min(cap, _round_up(self.P, 128))
+        else:
+            best = min(range(256, 769, 128),
+                       key=lambda c: (_round_up(self.P, c), abs(c - 512)))
+            self.BLK = min(best, _round_up(self.P, 128))
         self.PPAD = _round_up(self.P, self.BLK)
         self.NT = self.PPAD // self.BLK
         self.QPAD = self.PPAD + 2 * self.RPAD
@@ -1491,7 +1500,7 @@ def _shift_conv_bwd(spec, precision, offset_bound, lead, res, g):
     gx = gxp[:, :, :, left:left + flat].reshape((p.B, p.C) + p.S)
     gx = gx.astype(x.dtype)
 
-    gs = gs[..., :p.P]                             # (B, dg, K, 8, P)
+    gs = gs[..., :p.P]                             # (B, dg, K, NRS, P)
     goff = gs[:, :, :, :p.nd]                      # (B, dg, K, nd, P)
     goff = goff.reshape(offset.shape).astype(offset.dtype)
     if mask is not None and mask.size:

@@ -201,6 +201,15 @@ def _local_conv(x_l, off_l, mask_l, weight, bias, spec: DeformConvSpec,
         if impl == "shiftblend":
             raise NotImplementedError(
                 f"shiftblend shard path unavailable: {reason}")
+    elif impl == "shiftblend":
+        # Honor the forced-impl contract (require -> raise) for the shard
+        # layouts the lead-mode kernel does not cover (non-leading dim or
+        # multi-axis spatial sharding), instead of silently falling through
+        # to the general path (ADVICE r4).
+        raise NotImplementedError(
+            "shiftblend shard path covers single-axis leading-dim spatial "
+            f"sharding only (got dims {[s.dim for s in shards]}); use "
+            "impl='auto' or 'gathermm'")
 
     # Fold the global->local coordinate change into each sharded dim's
     # offset channels.  Along dim d, global sample coord:

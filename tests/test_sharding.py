@@ -391,3 +391,18 @@ def test_sharded_zero_offset_edge_grads_match():
     for name, gw, gg in zip(("x", "off", "mask", "w", "b"), want, got):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    rtol=3e-5, atol=3e-6, err_msg=name)
+
+
+def test_forced_shiftblend_non_lead_dim_raises():
+    """Forced impl="shiftblend" must raise (not silently fall through to
+    auto dispatch) when the shard layout is outside the lead-mode kernel's
+    coverage: non-leading-dim or multi-axis spatial sharding (ADVICE r4).
+    Cg = 8 here so the slab itself IS shiftblend-eligible — only the shard
+    layout is not."""
+    x, off, mask, w, b = _case(C=16, O=16, W=16, dg=2)
+    mesh = make_mesh((1, 8), ("data", "space"))
+    kw = dict(stride=1, padding=1, groups=2, deformable_groups=2,
+              max_offset=1.0, impl="shiftblend")
+    with pytest.raises(NotImplementedError, match="leading-dim"):
+        sharded_modulated_deform_conv2d(x, off, mask, w, b, mesh=mesh,
+                                        spatial_axis=(None, "space"), **kw)
