@@ -28,6 +28,86 @@ from modulated_deform_conv_tpu.parallel.sharding import (
     make_mesh, sharded_modulated_deform_conv2d)
 
 
+def shard_local_premium():
+    """Per-shard compute premium of spatial sharding, measured on the one
+    real chip (VERDICT r4 item 5).
+
+    For a cfg5-c3 H-shard at n shards, each chip computes a halo-extended
+    local block: input rows H/n + 2*halo, output rows H/n, dispatched
+    exactly as parallel/sharding.py dispatches a shard (out_sizes +
+    gate_bounds overrides).  The compute-side scaling
+    efficiency is t_full / (n * t_local(n)) — the halo rows' extra gather
+    work is the only per-chip compute the sharding adds, so this bounds
+    the compute term of multi-chip scaling with hardware numbers (the ICI
+    term is bounded analytically in scaling.py; the CPU-proxy end-to-end
+    number is scaling_results.json "spatial").
+    """
+    from modulated_deform_conv_tpu.ops import api as ops_api
+    from modulated_deform_conv_tpu.parallel.sharding import required_halo
+    from modulated_deform_conv_tpu.utils.config import DeformConvSpec
+
+    B, C, O, H, W, k, g, dg = 32, 512, 512, 28, 28, 3, 1, 1
+    K = k * k
+    max_off = 2.0
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((O, C // g, k, k)) * 0.05,
+                    jnp.float32)
+    base_spec = DeformConvSpec.make(2, k, 1, 1, 1, g, dg, 64,
+                                    modulated=True)
+    halo = required_halo(base_spec, max_off)
+    rows = {}
+    for n in (1, 2, 4, 7):
+        OH_l = H // n
+        H_in = OH_l + (2 * halo if n > 1 else 0)
+        x = jnp.asarray(rng.standard_normal((B, C, H_in, W)), jnp.float32)
+        off = jnp.asarray(
+            rng.uniform(-max_off, max_off, (B, dg * 2 * K, OH_l, W)),
+            jnp.float32)
+        mask = jnp.asarray(rng.uniform(0, 1, (B, dg * K, OH_l, W)),
+                           jnp.float32)
+        if n == 1:
+            spec = base_spec
+            out_sizes = None
+            gates = None
+        else:
+            # first-shard layout (i_shard = 0): local padding 0 on H,
+            # offsets carry the halo-p coordinate shift, gates translate
+            # the global (-1, H) interval into local coordinates
+            spec = DeformConvSpec.make(2, k, 1, (0, 1), 1, g, dg, 64,
+                                       modulated=True)
+            off = off.at[:, 0::2].add(float(halo - 1))   # d=0 rows shift
+            out_sizes = (OH_l, W)
+            gates = [(-1.0 + halo, float(H_in)),         # first shard
+                     (-1.0, float(W))]
+
+        def fn(x, off, mask, w, spec=spec, out_sizes=out_sizes,
+               gates=gates):
+            out = ops_api._dispatch(x, off, mask, w, None, spec,
+                                    impl="auto", out_sizes=out_sizes,
+                                    gate_bounds=gates)
+            return jnp.sum(jnp.square(out))
+
+        def fwdbwd(*a, fn=fn):
+            gs = jax.grad(fn, argnums=(0, 1, 2, 3))(*a)
+            return sum(jnp.sum(t) for t in gs)
+
+        t_fb = measure_amortized(fwdbwd, (x, off, mask, w), 3, n_lo=2,
+                                 n_hi=12)
+        rows[n] = {"H_in_local": H_in, "OH_local": OH_l,
+                   "fwdbwd_ms": t_fb * 1e3}
+        log(f"n={n}: local block {H_in}x{W} -> out {OH_l}x{W}  "
+            f"fwd+bwd {t_fb*1e3:7.3f} ms")
+    t_full = rows[1]["fwdbwd_ms"]
+    for n in (2, 4, 7):
+        rows[n]["compute_scaling_efficiency"] = t_full / (
+            n * rows[n]["fwdbwd_ms"])
+        log(f"n={n}: compute-side scaling efficiency "
+            f"{rows[n]['compute_scaling_efficiency']:.3f}")
+    return {"config": "cfg5-c3 (B=32 512ch 28x28 DCNv2) H-shard, "
+                      "first-shard gates, halo=%d" % halo,
+            "per_n": {str(n): rows[n] for n in rows}}
+
+
 def main():
     dev = jax.devices()[0]
     assert dev.platform == "tpu", f"needs the real chip, got {dev.platform}"
@@ -88,6 +168,7 @@ def main():
                  "op at <1e-5"),
         **results,
     }
+    data["tpu_shard_local_premium"] = shard_local_premium()
     with open(out, "w") as fh:
         json.dump(data, fh, indent=2)
     log(f"wrote {out}")

@@ -102,37 +102,48 @@ def run_case(case, impl, iters, skip_slow_xla=False, tune=False):
         from modulated_deform_conv_tpu.ops.pallas import gathermm as gm
         from modulated_deform_conv_tpu.ops.pallas import shiftblend as sb
 
-        def _run6(*a):
-            def body(c, _):
-                pert = [q + c.astype(q.dtype) * 1e-30 for q in a]
-                return fwdbwd(*pert).astype(a[0].dtype), ()
-            s, _ = jax.lax.scan(body, jnp.zeros((), a[0].dtype), None,
-                                length=6)
-            return s
+        def _runN(n):
+            def run(*a):
+                def body(c, _):
+                    pert = [q + c.astype(q.dtype) * 1e-30 for q in a]
+                    return fwdbwd(*pert).astype(a[0].dtype), ()
+                s, _ = jax.lax.scan(body, jnp.zeros((), a[0].dtype), None,
+                                    length=n)
+                return s
+            return run
 
-        # One fresh jit per knob VARIANT, reused across the timing reps:
-        # jax's jit cache keys on shapes only, so a changed module
+        # One fresh jit per (variant, chain length), reused across timing
+        # reps: jax's jit cache keys on shapes only, so a changed module
         # override must get a new jit object — but recreating it per rep
         # (as a naive closure would) re-traces and re-lowers the whole
         # fwd+bwd chain on the host every call, minutes per case.
         _jits = {}
 
-        def chain():
+        def chain_builder(n):
             key = (gm._SCH_OVERRIDE, gm._PT_OVERRIDE, gm._K0_OVERRIDE,
-                   sb._BLK_OVERRIDE)
+                   sb._BLK_OVERRIDE, n)
             if key not in _jits:
-                _jits[key] = jax.jit(_run6)
-            return _jits[key](*args)
+                _jits[key] = jax.jit(_runN(n))
+            return lambda: _jits[key](*args)
 
-        # {} vs SCH=-2 (the one knob that measured a real win, +10% on the
-        # ResNet c3 stage).  SB_BLK variants are deliberately NOT swept
-        # here: an r4 A/B showed the per-path BLK defaults already optimal
-        # (1024 cost cfg2 13%, and crashes the compiler at Cg > 64), and
-        # the 2-rep tunnel timing is too noisy to distinguish ~10% deltas
-        # — it picked the 13%-worse variant once (suite run r4).
-        variants = ({}, {"SCH": -2})
-        tuned = autotune.autotune_sch(chain, key=f"{case['name']}_{impl}",
-                                      variants=variants, reps=2)
+        # r5: the autotuner times variants with chain-DIFFERENCED per-step
+        # estimates (utils/autotune._time_differenced), which resolves the
+        # ~10% deltas the old 2-rep whole-call timing could not — so the
+        # r3 knob space is restored (SB_BLK/PT alongside SCH; uncompilable
+        # variants are skipped inside autotune_sch).  Heavy cases (cfg4:
+        # ~0.5s steps, minutes-long chain compiles) keep the 2-variant
+        # set so suite wall time stays bounded.
+        import math as _math
+        work = case["batch"] * _math.prod(case["args"][0].shape[2:])
+        if work > 4_000_000:
+            variants = ({}, {"SCH": -2})
+        else:
+            variants = ({}, {"SCH": -2}, {"SCH": 112}, {"SB_BLK": 512},
+                        {"SB_BLK": 768}, {"PT": 512})
+        tuned = autotune.autotune_sch(None, key=f"{case['name']}_{impl}",
+                                      variants=variants, reps=3,
+                                      chain_builder=chain_builder,
+                                      n_lo=1, n_hi=7)
 
     t_f = measure_amortized(fwd, tuple(args), iters, n_lo=2, n_hi=12)
     if t_f < 3e-4:

@@ -39,9 +39,27 @@ _IMPLS = ("auto", "xla", "pallas", "shiftblend")
 
 def _dispatch(x, offset, mask, weight, bias, spec: DeformConvSpec, impl: str,
               precision: str = "tensorfloat32", out_sizes=None,
-              offset_bound=None, gate_bounds=None):
+              offset_bound=None, gate_bounds=None,
+              debug_check_bounds: bool = False):
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    if debug_check_bounds and offset_bound is not None:
+        # Opt-in runtime guard for the bounded-offset contract: the
+        # shift-blend kernel silently ZEROES tap contributions whose
+        # offsets exceed the declared bound (shiftblend.py window-miss
+        # semantics, mirroring the sharding layer's out-of-halo
+        # contract).  jax.debug.print survives jit, so training code can
+        # catch contract violations without a host sync.
+        from .pallas import shiftblend as _sb
+        ok = _sb.offsets_within_bound(offset, offset_bound)
+        mx = jax.numpy.max(jax.numpy.abs(offset))
+        jax.lax.cond(
+            ok, lambda: None,
+            lambda: jax.debug.print(
+                "WARNING modulated_deform_conv_tpu: max |offset| = {m} "
+                "exceeds the declared offset_bound = {b}; out-of-bound "
+                "tap contributions are dropped (bounded-offset "
+                "contract)", m=mx, b=offset_bound))
     if out_sizes is None:
         spec.validate(x.shape, offset.shape, weight.shape,
                       None if mask is None else mask.shape,
@@ -65,7 +83,8 @@ def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                   dilation=1, groups: int = 1, deformable_groups: int = 1,
                   in_step: int = 64, *, impl: str = "auto",
                   precision: str = "tensorfloat32",
-                  offset_bound=None) -> jax.Array:
+                  offset_bound=None,
+                  debug_check_bounds: bool = False) -> jax.Array:
     """DCNv1 2D forward (reference deform_conv2d, modulated_deform_conv.py:349).
 
     input (B,C,H,W); offset (B, dg*2*kh*kw, OH, OW); weight (O, C/g, kh, kw);
@@ -75,7 +94,8 @@ def deform_conv2d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                                groups, deformable_groups, in_step,
                                modulated=False)
     return _dispatch(input, offset, None, weight, bias, spec, impl,
-                     precision, offset_bound=offset_bound)
+                     precision, offset_bound=offset_bound,
+                     debug_check_bounds=debug_check_bounds)
 
 
 def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
@@ -85,14 +105,16 @@ def modulated_deform_conv2d(input: jax.Array, offset: jax.Array,
                             deformable_groups: int = 1, in_step: int = 64,
                             *, impl: str = "auto",
                             precision: str = "tensorfloat32",
-                            offset_bound=None) -> jax.Array:
+                            offset_bound=None,
+                            debug_check_bounds: bool = False) -> jax.Array:
     """DCNv2 2D forward (reference modulated_deform_conv2d,
     modulated_deform_conv.py:350).  mask (B, dg*kh*kw, OH, OW)."""
     spec = DeformConvSpec.make(2, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=True)
     return _dispatch(input, offset, mask, weight, bias, spec, impl,
-                     precision, offset_bound=offset_bound)
+                     precision, offset_bound=offset_bound,
+                     debug_check_bounds=debug_check_bounds)
 
 
 def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
@@ -100,7 +122,8 @@ def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                   dilation=1, groups: int = 1, deformable_groups: int = 1,
                   in_step: int = 64, *, impl: str = "auto",
                   precision: str = "tensorfloat32",
-                  offset_bound=None) -> jax.Array:
+                  offset_bound=None,
+                  debug_check_bounds: bool = False) -> jax.Array:
     """3D deformable conv (reference deform_conv3d, modulated_deform_conv.py:351).
 
     input (B,C,H,W,L); offset (B, dg*3*kh*kw*kl, OH, OW, OL);
@@ -109,7 +132,8 @@ def deform_conv3d(input: jax.Array, offset: jax.Array, weight: jax.Array,
                                groups, deformable_groups, in_step,
                                modulated=False)
     return _dispatch(input, offset, None, weight, bias, spec, impl,
-                     precision, offset_bound=offset_bound)
+                     precision, offset_bound=offset_bound,
+                     debug_check_bounds=debug_check_bounds)
 
 
 def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
@@ -119,11 +143,13 @@ def modulated_deform_conv3d(input: jax.Array, offset: jax.Array,
                             deformable_groups: int = 1, in_step: int = 64,
                             *, impl: str = "auto",
                             precision: str = "tensorfloat32",
-                            offset_bound=None) -> jax.Array:
+                            offset_bound=None,
+                            debug_check_bounds: bool = False) -> jax.Array:
     """Modulated 3D deformable conv (reference modulated_deform_conv3d,
     modulated_deform_conv.py:352).  mask (B, dg*kh*kw*kl, OH, OW, OL)."""
     spec = DeformConvSpec.make(3, weight.shape[2:], stride, padding, dilation,
                                groups, deformable_groups, in_step,
                                modulated=True)
     return _dispatch(input, offset, mask, weight, bias, spec, impl,
-                     precision, offset_bound=offset_bound)
+                     precision, offset_bound=offset_bound,
+                     debug_check_bounds=debug_check_bounds)

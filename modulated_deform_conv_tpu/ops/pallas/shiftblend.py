@@ -55,7 +55,16 @@ from ...utils.device import current_profile
 # _X_RESIDENT_BUDGET=48MB).
 _VMEM_LIMIT = None
 _X_RESIDENT_BUDGET = None
-_RESIDUAL_BUDGET = 256 * 1024 * 1024     # max saved-residual bytes (HBM, bwd)
+# Max saved-residual bytes (HBM) for the masked-columns forward residual.
+# HBM-sized, not VMEM-sized: v5e carries 16GB, and skipping the residual
+# forces the rolled-loop backward to RECOMPUTE the columns - a full extra
+# forward sweep.  cfg4's lead-chunked plan (453MB/chunk) sat just over the
+# old 256MB cap, and its backward ran 4.0x the forward (suite r4:
+# 131.8ms fwd, 657ms fwd+bwd) where the sweep model says 2.25-3.25x; at
+# 2GB the residual is saved and only ~11ms of HBM traffic replaces the
+# ~130ms recompute (r5).  Lead-chunked calls keep nb chunk residuals live
+# at once (nb * cols_bytes HBM peak) - still far under HBM at this cap.
+_RESIDUAL_BUDGET = 2 * 1024 * 1024 * 1024
 _BLK_OVERRIDE = 0                        # nonzero: force output-lane block
                                          # cap (utils/autotune.py knob)
 _PREROT_OVERRIDE = 0                     # 1 force on / -1 force off the
@@ -246,6 +255,26 @@ class SBPlan:
         cum = np.cumsum([0] + list(self.W))
         self.row0 = tuple(int(cum[d]) for d in range(nd))
         self.NW = int(cum[nd])
+        # Flat 2D layout of the expanded-row scratch (r5): row (d, dy, k)
+        # lives at row0k[d] + dy*K + k in a (NWK, BLK) scratch, with each
+        # axis block 8-aligned so _expand_rows writes it as ONE aligned
+        # (W_d*K, BLK) store at ~full sublane occupancy.  (The old
+        # (NW, K, BLK) layout made every expand op a (K=9, BLK) tensor
+        # padded to 16 sublanes - 44% of the expand work wasted, ~0.3 ms
+        # of the cfg2 step.)  wrow_base maps an axis-row id r (the
+        # row0[d] + dy values _inner_combos hands out) to its flat base;
+        # add k for the row of tap k, and dy*K advances dy dynamically.
+        r0k = []
+        acc = 0
+        for d in range(nd):
+            r0k.append(acc)
+            acc = _round_up(acc + self.W[d] * self.K, 8)
+        self.row0k = tuple(r0k)
+        self.NWK = acc
+        self.wrow_base = tuple(
+            self.row0k[d] + (r - self.row0[d]) * self.K
+            for d in range(nd) for r in range(self.row0[d],
+                                              self.row0[d] + self.W[d]))
 
         # Offset/mask gradient rows emitted by the backward: nd offset
         # rows plus the mask row (r4: was a fixed 8-row slab — 33MB/step
@@ -457,10 +486,13 @@ def _tapvec(plan: SBPlan, d: int):
 
 
 def _expand_rows(cf_ref, co_ref, w_ref, dw_ref, plan: SBPlan):
-    """Expand the compact rows into per-(axis, dy) corner-weight rows for
-    all K taps at once: w_ref[row0[d] + dy] = (K, BLK) weight row (and
-    dw_ref the d(weight)/d(pos) rows when given).  Runs once per grid
-    cell; cost ~NW * K * BLK VPU ops, ~1% of the window sweep.  cf_ref is
+    """Expand the compact rows into per-(axis, dy, tap) corner-weight rows:
+    w_ref[wrow_base[row0[d] + dy] + k, :] = the (BLK,) weight row of tap k
+    at window row dy of axis d (and dw_ref the d(weight)/d(pos) rows when
+    given).  Runs once per grid cell.  r5: each axis's W_d * K rows build
+    as ONE packed (W_d*K, BLK) block - near-full sublane occupancy and a
+    single aligned store, vs the old per-dy (K, BLK) ops that padded
+    K=9 -> 16 sublanes (44% waste, ~0.3 ms of the cfg2 step).  cf_ref is
     the in-kernel (NRC, K, BLK) scratch filled by _build_cf."""
     p = plan
     gate = cf_ref[p.cgate]                                 # (K, BLK)
@@ -469,26 +501,36 @@ def _expand_rows(cf_ref, co_ref, w_ref, dw_ref, plan: SBPlan):
         fr = cf_ref[p.cfr[d]]
         oc = co_ref[pl.ds(d, 1), :]                        # (1, BLK)
         lim = float(p.S0_gate if d == 0 else p.S[d])
-        tapv = _tapvec(p, d)                               # (K, 1)
-        for dy in range(p.W[d]):
-            dyf = float(p.lo[d] + dy)
-            sel_lo = rel == dyf                  # this row is the low corner
-            sel_hi = rel == dyf - 1.0            # this row is the high corner
-            crn = oc + (tapv + dyf)              # corner coordinate (K, BLK)
-            inimg = (crn >= 0.0) & (crn < lim)
-            w = (jnp.where(sel_lo, 1.0 - fr, 0.0)
-                 + jnp.where(sel_hi, fr, 0.0))
-            w = jnp.where(inimg, w, 0.0)
+        W = p.W[d]
+        WK = W * p.K
+        rid = jax.lax.broadcasted_iota(jnp.int32, (WK, 1), 0)
+        dyf = (rid // p.K).astype(jnp.float32) + float(p.lo[d])
+        kidx = rid % p.K
+        inner = 1
+        for e in range(d + 1, p.nd):
+            inner *= p.kernel[e]
+        tapv = ((kidx // inner) % p.kernel[d] * p.dilation[d]
+                - p.padding[d]).astype(jnp.float32)        # (WK, 1)
+        relT = jnp.concatenate([rel] * W, axis=0)          # (WK, BLK)
+        frT = jnp.concatenate([fr] * W, axis=0)
+        gateT = jnp.concatenate([gate] * W, axis=0) if d == 0 else None
+        sel_lo = relT == dyf                 # this row is the low corner
+        sel_hi = relT == dyf - 1.0           # this row is the high corner
+        crn = oc + (tapv + dyf)              # corner coordinate (WK, BLK)
+        inimg = (crn >= 0.0) & (crn < lim)
+        w = (jnp.where(sel_lo, 1.0 - frT, 0.0)
+             + jnp.where(sel_hi, frT, 0.0))
+        w = jnp.where(inimg, w, 0.0)
+        if d == 0:
+            w = w * gateT
+        w_ref[pl.ds(p.row0k[d], WK), :] = w
+        if dw_ref is not None:
+            dw = (jnp.where(sel_lo, -1.0, 0.0)
+                  + jnp.where(sel_hi, 1.0, 0.0))
+            dw = jnp.where(inimg, dw, 0.0)
             if d == 0:
-                w = w * gate
-            w_ref[p.row0[d] + dy] = w
-            if dw_ref is not None:
-                dw = (jnp.where(sel_lo, -1.0, 0.0)
-                      + jnp.where(sel_hi, 1.0, 0.0))
-                dw = jnp.where(inimg, dw, 0.0)
-                if d == 0:
-                    dw = dw * gate
-                dw_ref[p.row0[d] + dy] = dw
+                dw = dw * gateT
+            dw_ref[pl.ds(p.row0k[d], WK), :] = dw
 
 
 def _x_prep(x, plan: SBPlan):
@@ -568,9 +610,9 @@ def _pair_row(wr_ref, cf_ref, k, dyvec, plan: SBPlan, masked: bool):
     reference applies the mask to the sampled value,
     mdeformable_conv.cu:83)."""
     p = plan
-    c = wr_ref[p.row0[0] + dyvec[0], k, :]
+    c = wr_ref[p.wrow_base[p.row0[0] + dyvec[0]] + k, :]
     for d in range(1, p.nd):
-        c = c * wr_ref[p.row0[d] + dyvec[d], k, :]
+        c = c * wr_ref[p.wrow_base[p.row0[d] + dyvec[d]] + k, :]
     if masked and p.modulated:
         c = c * cf_ref[p.cmask, k, :]
     return c
@@ -660,9 +702,9 @@ def _fill_cp_loop(cp_ref, wr_ref, cf_ref, plan: SBPlan):
     ~1% of the sweep cost, reused W[0] times."""
     p = plan
     for idx, k, rows, _ in _loop_pairs(p):
-        c = wr_ref[rows[0], k, :]
+        c = wr_ref[p.wrow_base[rows[0]] + k, :]
         for r in rows[1:]:
-            c = c * wr_ref[r, k, :]
+            c = c * wr_ref[p.wrow_base[r] + k, :]
         if p.modulated:
             c = c * cf_ref[p.cmask, k, :]
         cp_ref[idx] = c
@@ -710,7 +752,7 @@ def _fwd_kernel_loop(*refs, plan: SBPlan, prec, cd, save_cols: bool):
                 + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
         xw = x_ref[0, 0, :, pl.ds(base, wide)].astype(cd)
         for k in range(p.K):
-            a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]         # (1, BLK)
+            a0 = wr_ref[pl.ds(p.row0k[0] + dz * p.K + k, 1), :]  # (1, BLK)
             off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
             acc = None
             for idx, kk, rows, inner in fps:
@@ -805,7 +847,7 @@ def _fwd_call(xr, offr, maskr, co, w2, plan: SBPlan, Og: int,
             ],
             scratch_shapes=[
                 pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
-                pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+                pltpu.VMEM((p.NWK, p.BLK), jnp.float32),
                 pltpu.VMEM((_round_up(p.n_pairs, 8), p.BLK), jnp.float32),
                 _cf_scratch(p),
             ],
@@ -854,7 +896,7 @@ def _fwd_call(xr, offr, maskr, co, w2, plan: SBPlan, Og: int,
                        jnp.float32 if cd == jnp.float32 else jnp.bfloat16),
             pltpu.VMEM((p.K * p.Cg, p.BLK),
                        jnp.float32 if cd == jnp.float32 else jnp.bfloat16),
-            pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+            pltpu.VMEM((p.NWK, p.BLK), jnp.float32),
             pltpu.VMEM((_round_up(p.n_pairs // p.W[0], 8), p.BLK),
                        jnp.float32),
             _cf_scratch(p),
@@ -1036,13 +1078,14 @@ def _bwd_kernel(*refs, plan: SBPlan, prec, cd):
         for rows, inner in _inner_combos(p, k):
             arest = None
             for r in rows:
-                rr = wr_ref[r, k, :]
+                rr = wr_ref[p.wrow_base[r] + k, :]
                 arest = rr if arest is None else arest * rr
             dvars = []
             for d in range(len(rows)):
                 q = None
                 for e, r in enumerate(rows):
-                    rr = (dwr_ref if e == d else wr_ref)[r, k, :]
+                    rr = (dwr_ref if e == d else wr_ref)[
+                        p.wrow_base[r] + k, :]
                     q = rr if q is None else q * rr
                 dvars.append(q)
             hoisted.append((inner, arest, dvars))
@@ -1059,8 +1102,8 @@ def _bwd_kernel(*refs, plan: SBPlan, prec, cd):
                 for d, q in enumerate(dvars):
                     tq = q[None, :] * r0p
                     s_q[d] = tq if s_q[d] is None else s_q[d] + tq
-            a0 = wr_ref[p.row0[0] + dy0, k, :]
-            da0 = dwr_ref[p.row0[0] + dy0, k, :]
+            a0 = wr_ref[p.wrow_base[p.row0[0] + dy0] + k, :]
+            da0 = dwr_ref[p.wrow_base[p.row0[0] + dy0] + k, :]
             s_am = s_a * mrow[None, :] if p.modulated else s_a
             goff[0] = goff[0] + da0[None, :] * s_am
             for d in range(p.nd - 1):
@@ -1146,7 +1189,7 @@ def _bwd_kernel_loop(*refs, plan: SBPlan, prec, cd, has_cols: bool):
                     + (p.tb0_min + p.lo[0]) * qs0 + dz * qs0)
             xw = x_ref[0, 0, :, pl.ds(base, widec)]
             for k in range(p.K):
-                a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
+                a0 = wr_ref[pl.ds(p.row0k[0] + dz * p.K + k, 1), :]
                 off_k = p.IPAD + (p.tap_base[k][0] - p.tb0_min) * qs0
                 acc = None
                 for idx, kk, rows, inner in fps:
@@ -1180,7 +1223,7 @@ def _bwd_kernel_loop(*refs, plan: SBPlan, prec, cd, has_cols: bool):
             for inner, lst in sorted(inner_map.items()):
                 tmp = None
                 for k, idx in lst:
-                    cm = (wr_ref[pl.ds(p.row0[0] + dz, 1), k, :]
+                    cm = (wr_ref[pl.ds(p.row0k[0] + dz * p.K + k, 1), :]
                           * cp_ref[idx, :][None, :])
                     contrib = cm * gcols_ref[pl.ds(k * p.Cg, p.Cg), :]
                     tmp = contrib if tmp is None else tmp + contrib
@@ -1216,13 +1259,14 @@ def _bwd_kernel_loop(*refs, plan: SBPlan, prec, cd, has_cols: bool):
         for rows, inner in combos:
             arest = None
             for r in rows:
-                rr = wr_ref[r, k, :]
+                rr = wr_ref[p.wrow_base[r] + k, :]
                 arest = rr if arest is None else arest * rr
             dvars = []
             for d in range(len(rows)):
                 q = None
                 for e, r in enumerate(rows):
-                    rr = (dwr_ref if e == d else wr_ref)[r, k, :]
+                    rr = (dwr_ref if e == d else wr_ref)[
+                        p.wrow_base[r] + k, :]
                     q = rr if q is None else q * rr
                 dvars.append(q)
             hoisted.append((inner, arest, dvars))
@@ -1239,8 +1283,9 @@ def _bwd_kernel_loop(*refs, plan: SBPlan, prec, cd, has_cols: bool):
             base = (t * p.BLK + p.RPAD - p.IPAD
                     + (p.tap_base[k][0] + p.lo[0]) * qs0 + dz * qs0)
             xw = x_ref[0, 0, :, pl.ds(base, p.BLK + 2 * p.IPAD)]
-            a0 = wr_ref[pl.ds(p.row0[0] + dz, 1), k, :][0]
-            da0 = dwr_ref[pl.ds(p.row0[0] + dz, 1), k, :][0]
+            row = p.row0k[0] + dz * p.K + k
+            a0 = wr_ref[pl.ds(row, 1), :][0]
+            da0 = dwr_ref[pl.ds(row, 1), :][0]
             goff = list(rows_carry[:p.nd])
             gm = rows_carry[p.nd]
             s_a = None                       # sum_combos arest * r0p
@@ -1312,8 +1357,8 @@ def _bwd_call_unrolled(xr, offr, maskr, co, w2, goutp, cols, plan: SBPlan,
         scratch_shapes=[
             pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
             pltpu.VMEM((p.Cg, p.BLK + 2 * p.RPAD), jnp.float32),
-            pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
-            pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+            pltpu.VMEM((p.NWK, p.BLK), jnp.float32),
+            pltpu.VMEM((p.NWK, p.BLK), jnp.float32),
             _cf_scratch(p),
         ] + ([pltpu.VMEM((p.Cg, len(p.deltas) * p.BLK), jnp.float32)]
              if p.prerot else []),
@@ -1379,8 +1424,8 @@ def _bwd_call(xr, offr, maskr, co, w2, goutp, cols, plan: SBPlan, Og: int,
         scratch_shapes=(
             [pltpu.VMEM((p.K * p.Cg, p.BLK), jnp.float32),
              pltpu.VMEM((p.Cg, p.BLK + 2 * p.IPAD), jnp.float32),
-             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
-             pltpu.VMEM((p.NW, p.K, p.BLK), jnp.float32),
+             pltpu.VMEM((p.NWK, p.BLK), jnp.float32),
+             pltpu.VMEM((p.NWK, p.BLK), jnp.float32),
              pltpu.VMEM((_round_up(p.n_pairs // p.W[0], 8), p.BLK),
                         jnp.float32)]
             + ([] if cols is not None else

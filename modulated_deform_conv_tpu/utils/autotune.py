@@ -81,19 +81,63 @@ def _time_once(fn: Callable[[], object], reps: int = 3) -> float:
     return best
 
 
-def autotune_sch(fn: Callable[[], object], key: str,
+def _time_differenced(chain_builder: Callable[[int], Callable[[], object]],
+                      reps: int, n_lo: int, n_hi: int) -> float:
+    """Per-step time via chain differencing (bench.py:measure_amortized,
+    VERDICT r4 item 4): wall-time a short and a long on-device chain of
+    the SAME step and report (min(t_hi) - min(t_lo)) / (n_hi - n_lo).
+    Differencing minima over several reps cancels both the ~30ms fixed
+    tunnel dispatch latency and the multi-second slow windows that made
+    the old whole-call 2-rep timing pick a 13%-worse variant once
+    (suite r4) — it resolves sub-ms step deltas."""
+    import numpy as np
+    lo, hi = chain_builder(n_lo), chain_builder(n_hi)
+    np.asarray(lo())                             # compile + warm
+    np.asarray(hi())
+    t_lo, t_hi = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(lo())
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(hi())
+        t_hi.append(time.perf_counter() - t0)
+    return max((min(t_hi) - min(t_lo)) / (n_hi - n_lo), 1e-9)
+
+
+def autotune_sch(fn: Optional[Callable[[], object]], key: str,
                  variants: Sequence[Dict[str, int]] = (
                      {}, {"SCH": -2}),
-                 reps: int = 3) -> Dict[str, int]:
-    """Pick the fastest gathermm knob variant for `fn` and pin it.
+                 reps: int = 3,
+                 chain_builder: Optional[
+                     Callable[[int], Callable[[], object]]] = None,
+                 n_lo: int = 1, n_hi: int = 7) -> Dict[str, int]:
+    """Pick the fastest plan-knob variant for the op and pin it.
 
-    `fn` is a nullary callable running the op (jitted or not); `key`
-    identifies the workload (include the shape).  A variant is a dict of
-    plan overrides; `{"SCH": -2}` means "double the heuristic chunk size"
-    (the one knob that measured +10% on the ResNet-stage shapes,
-    benchmarks/sweep_cfg5.py r3).  The winner is cached per
-    (device_kind, key) in-process and in MDC_AUTOTUNE_CACHE when set, and
-    left APPLIED as the module override on return.
+    Timing modes:
+      * `chain_builder(n) -> nullary` (preferred): builds an n-step
+        on-device chain of the op under the CURRENT overrides; variants
+        are compared on the chain-differenced per-step time (sub-ms
+        resolution through the tunnel's dispatch latency and drift).
+        The builder must construct a FRESH jitted chain per (variant, n)
+        — jax's jit cache keys on shapes only, not module overrides.
+      * `fn` (legacy): a nullary callable timed whole, min over `reps`.
+
+    A variant is a dict of plan overrides (SCH/PT/K0 for gathermm,
+    SB_BLK for shiftblend); `{"SCH": -2}` means "double the heuristic
+    chunk size" (+10% on the ResNet c3 stage, benchmarks/sweep_cfg5.py).
+    The winner is cached per (device_kind, key) in-process and in
+    MDC_AUTOTUNE_CACHE when set, and left APPLIED on return.
+
+    NOTE (scope): overrides are process-global module state consumed at
+    TRACE time, not per-shape dispatch state.  Alternating two
+    differently-tuned shapes in one process leaves the second running
+    with the first's knobs unless you re-call autotune_sch (cached: just
+    re-applies) or `reset()` between them.  This mirrors the reference's
+    process-wide CUDA_NUM_THREADS constant (config.h:32); a per-shape
+    override table is deliberately not maintained because jit caches by
+    shape and would silently pin whichever override was live at first
+    trace anyway.
     """
     from ..ops.pallas import gathermm as gm
     full_key = f"{_device_key()}::{key}"
@@ -110,7 +154,10 @@ def autotune_sch(fn: Callable[[], object], key: str,
         for var in variants:
             _apply(var)     # SCH=-2 is resolved inside the plan (2x)
             try:
-                t = _time_once(fn, reps)
+                if chain_builder is not None:
+                    t = _time_differenced(chain_builder, reps, n_lo, n_hi)
+                else:
+                    t = _time_once(fn, reps)
             except Exception:
                 # A variant may be uncompilable for this config (e.g.
                 # SB_BLK=1024 at Cg > 64 crashes the TPU compiler) —
@@ -127,3 +174,9 @@ def autotune_sch(fn: Callable[[], object], key: str,
     _save_disk(disk)
     _apply(best_v)
     return best_v
+
+
+def reset() -> None:
+    """Clear all applied overrides (back to the per-device-kind plan
+    defaults).  See the scope note in autotune_sch."""
+    _apply({})

@@ -89,18 +89,37 @@ def _lookup_vmem(kind: str) -> int:
     return _FALLBACK_VMEM
 
 
+def _load_profile_file(kind: str) -> dict:
+    """Calibrated constants for `kind` from the MDC_PROFILE json written
+    by `python -m modulated_deform_conv_tpu.calibrate` (r5).  Explicit
+    MDC_* env overrides still win over the file."""
+    path = os.environ.get("MDC_PROFILE")
+    if not path or not os.path.exists(path):
+        return {}
+    try:
+        import json
+        with open(path) as f:
+            return json.load(f).get(kind, {})
+    except Exception:
+        return {}
+
+
 @functools.lru_cache(maxsize=None)
 def _profile_for_kind(kind: str) -> DeviceProfile:
-    vmem = _env_int("MDC_VMEM_BYTES", _lookup_vmem(kind))
+    filed = _load_profile_file(kind)
+    vmem = _env_int("MDC_VMEM_BYTES",
+                    filed.get("vmem_bytes") or _lookup_vmem(kind))
     return DeviceProfile(
         kind=kind,
         vmem_bytes=vmem,
         # The Cg<=128 crossover is a v5e VPU-vs-MXU balance measurement
-        # (benchmarks/suite_results.json r2); there is no principled way
-        # to scale it across kinds, so it stays 128 with an env override
-        # until measured elsewhere.
-        sb_crossover_cg=_env_int("MDC_SB_CROSSOVER", 128),
-        lane_budget=_env_int("MDC_LANE_BUDGET", 4608),
+        # (benchmarks/suite_results.json r2); calibrate.py scales it by
+        # the measured MXU/VPU ratio for new kinds (MDC_PROFILE), and the
+        # env override wins over both.
+        sb_crossover_cg=_env_int("MDC_SB_CROSSOVER",
+                                 filed.get("sb_crossover_cg") or 128),
+        lane_budget=_env_int("MDC_LANE_BUDGET",
+                             filed.get("lane_budget") or 4608),
     )
 
 

@@ -248,3 +248,28 @@ def test_row_chunked_path_matches(monkeypatch):
     for a, b, name in zip(got, want, ["x", "off", "mask", "w"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_debug_check_bounds_warns(capfd):
+    """Opt-in runtime guard for the bounded-offset contract (VERDICT r4
+    item 8): offsets beyond the declared bound print a jit-surviving
+    warning; in-bound offsets stay silent."""
+    x = jnp.ones((1, 8, 6, 6), jnp.float32)
+    w = jnp.ones((8, 8, 3, 3), jnp.float32)
+    big = jnp.full((1, 18, 6, 6), 3.5, jnp.float32)     # beyond bound 2.0
+    small = jnp.full((1, 18, 6, 6), 0.5, jnp.float32)
+
+    @jax.jit
+    def run(off):
+        return deform_conv2d(x, off, w, padding=1, offset_bound=2.0,
+                             debug_check_bounds=True)
+
+    run(big).block_until_ready()
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "exceeds the declared offset_bound" in out.out + out.err
+
+    run(small).block_until_ready()
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "exceeds the declared offset_bound" not in out.out + out.err

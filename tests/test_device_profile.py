@@ -53,3 +53,36 @@ def test_kernel_modules_resolve_through_profile(monkeypatch):
     assert shiftblend._x_resident_budget() == 1234
     monkeypatch.setattr(gathermm, "_LANE_BUDGET", 99)
     assert gathermm._lane_budget() == 99
+
+
+def test_calibrate_derivation_and_profile_file(tmp_path, monkeypatch):
+    """calibrate.derive scales the v5e constants by the measured MXU/VPU
+    ratio and VMEM; utils/device.py loads the written MDC_PROFILE file
+    (env overrides still win)."""
+    import json
+    from modulated_deform_conv_tpu import calibrate
+    from modulated_deform_conv_tpu.utils import device
+
+    # identical rates to v5e -> identical constants
+    p = calibrate.derive("TPU vX", 197e12, 2.26e12, 128 * 1024 * 1024)
+    assert p["sb_crossover_cg"] == 128
+    assert p["lane_budget"] == 4608
+    # 2x the MXU/VPU ratio -> crossover doubles (clamped multiple of 8)
+    p2 = calibrate.derive("TPU vY", 2 * 197e12, 2.26e12, 64 * 1024 * 1024)
+    assert p2["sb_crossover_cg"] == 256
+    assert p2["lane_budget"] == 4608 // 2
+
+    path = tmp_path / "prof.json"
+    path.write_text(json.dumps({"TPU vY": p2}))
+    monkeypatch.setenv("MDC_PROFILE", str(path))
+    device._profile_for_kind.cache_clear()
+    prof = device.current_profile("TPU vY")
+    assert prof.sb_crossover_cg == 256
+    assert prof.lane_budget == 2304
+    # explicit env override beats the file
+    monkeypatch.setenv("MDC_SB_CROSSOVER", "64")
+    device._profile_for_kind.cache_clear()
+    assert device.current_profile("TPU vY").sb_crossover_cg == 64
+    monkeypatch.delenv("MDC_SB_CROSSOVER")
+    monkeypatch.delenv("MDC_PROFILE")
+    device._profile_for_kind.cache_clear()
