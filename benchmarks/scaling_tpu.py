@@ -91,8 +91,8 @@ def shard_local_premium():
             gs = jax.grad(fn, argnums=(0, 1, 2, 3))(*a)
             return sum(jnp.sum(t) for t in gs)
 
-        t_fb = measure_amortized(fwdbwd, (x, off, mask, w), 3, n_lo=2,
-                                 n_hi=12)
+        t_fb = measure_amortized(fwdbwd, (x, off, mask, w), 6, n_lo=2,
+                                 n_hi=22)
         rows[n] = {"H_in_local": H_in, "OH_local": OH_l,
                    "fwdbwd_ms": t_fb * 1e3}
         log(f"n={n}: local block {H_in}x{W} -> out {OH_l}x{W}  "
@@ -123,7 +123,12 @@ def main():
     kw = dict(stride=1, padding=1, groups=g, deformable_groups=dg)
 
     def plain(*a):
-        return jnp.sum(jnp.square(modulated_deform_conv2d(*a, None, **kw)))
+        # offset_bound matches the sharded calls' max_offset so both
+        # dispatch the same kernel family (without it, plain runs the
+        # general gathermm path at ~2x and the "overhead" rows compare
+        # different kernels - caught r5).
+        return jnp.sum(jnp.square(modulated_deform_conv2d(
+            *a, None, offset_bound=2.0, **kw)))
 
     def mk_sharded(halo):
         def f(*a):

@@ -138,8 +138,10 @@ def run_case(case, impl, iters, skip_slow_xla=False, tune=False):
         if work > 4_000_000:
             variants = ({}, {"SCH": -2})
         else:
-            variants = ({}, {"SCH": -2}, {"SCH": 112}, {"SB_BLK": 512},
-                        {"SB_BLK": 768}, {"PT": 512})
+            # 4 variants x 2 chain lengths = 8 compiles per case; SCH=112
+            # is the one knob with a recorded real win (+10.6% on c3,
+            # sweep_cfg5 r3), SB_BLK=512 probes the pre-r5 block size
+            variants = ({}, {"SCH": -2}, {"SCH": 112}, {"SB_BLK": 512})
         tuned = autotune.autotune_sch(None, key=f"{case['name']}_{impl}",
                                       variants=variants, reps=3,
                                       chain_builder=chain_builder,

@@ -16,7 +16,7 @@ latency cancels between two chain lengths):
 then derives and writes a JSON profile keyed by device kind:
 
   * ``sb_crossover_cg`` — the shiftblend/gathermm dispatch crossover.
-    On v5e it measured 128 with MXU/VPU = 197e12/2.26e12 ≈ 87; the
+    On v5e it measured 128 with this script's MXU/VPU ≈ 18.6; the
     crossover is where the VPU window sweep (∝ Cg) overtakes the MXU
     swept contraction (∝ Cg at ~1/ratio the per-element cost), so it
     scales linearly with the measured ratio (rounded to a multiple of 8,
@@ -38,10 +38,14 @@ import json
 import os
 import time
 
-# v5e reference points the derivations scale from (benchmarks/ANALYSIS.md
-# §1: measured on the round-2 chip).
-_V5E_MXU_FLOPS = 197e12
-_V5E_VPU_ELEMS = 2.26e12
+# v5e reference points the derivations scale from — measured BY THIS
+# SCRIPT on the round-5 v5e chip, so a new kind's ratio is
+# like-for-like.  (These are XLA-fused rates; the in-kernel effective
+# VPU rate the sweeps see is ~2.26e12, ANALYSIS.md §1 — the gap is the
+# unaligned-VMEM access throttle, which moves with the same hardware
+# generation, so the RATIO is the portable quantity.)
+_V5E_MXU_FLOPS = 209e12
+_V5E_VPU_ELEMS = 11.25e12
 _V5E_CROSSOVER = 128
 _V5E_LANE_BUDGET = 4608
 _V5E_VMEM = 128 * 1024 * 1024
@@ -93,7 +97,9 @@ def measure_mxu_flops() -> float:
     def step(a, b):
         c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        return jnp.sum(c[:1, :1]).astype(jnp.bfloat16)
+        # consume the FULL result: slicing before the reduce lets XLA
+        # compute only the sliced output rows (DCE) and fakes the rate
+        return (jnp.sum(c) * 1e-12).astype(jnp.bfloat16)
     t = _amortized(step, (a, b))
     return 2 * n ** 3 / t
 
@@ -103,17 +109,18 @@ def measure_vpu_elems() -> float:
     import jax.numpy as jnp
     import numpy as np
     shape = (2048, 4096)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-    y = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    reps = 256                             # FMAs per element: compute-
+    rng = np.random.default_rng(0)         # dominated (HBM pass ~0.15ms
+    x = jnp.asarray(rng.standard_normal(shape) * 1e-3, jnp.float32)
+    y = jnp.asarray(rng.standard_normal(shape) * 1e-3, jnp.float32)
 
     def step(x, y):
         a = x
-        for _ in range(16):
-            a = a * y + x                  # 16 fused FMAs
-        return jnp.sum(a[:1, :1])
-    t = _amortized(step, (x, y))
-    return 16 * shape[0] * shape[1] / t
+        for _ in range(reps):
+            a = a * y + x                  # fused FMA chain (not
+        return jnp.sum(a) * 1e-12          # algebraically foldable)
+    t = _amortized(step, (x, y), n_lo=1, n_hi=21, iters=5)
+    return reps * shape[0] * shape[1] / t
 
 
 def measure_hbm_bw() -> float:

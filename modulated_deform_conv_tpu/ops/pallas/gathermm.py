@@ -1014,15 +1014,26 @@ def ineligible_reason(x, spec: DeformConvSpec,
             and jax.default_backend() == "tpu"):
         # Empirical AOT-toolchain bug: channel-part grids over planes with
         # >= ~98k flat positions crash the compiler (any block size, any
-        # part count); single-part blocks up to 50MB are fine.
+        # part count); single-part blocks up to 50MB are fine.  Re-tested
+        # r5: still a hard tpu_compile_helper subprocess crash (exit 1),
+        # not a reportable Mosaic error.
         return ("channel-part split over a large plane crashes the current "
                 "TPU toolchain")
     if plan.stream and jax.default_backend() == "tpu":
-        # The HBM-streaming path (chunk DMA) is implemented and verified in
-        # interpreter mode, but this environment's AOT TPU compiler crashes
-        # on any indexed make_async_copy; gate it to the XLA fallback until
-        # the toolchain supports it.
-        return "input plane exceeds VMEM residency budget (DMA streaming "                "blocked by the current TPU toolchain)"
+        # The HBM-streaming path (chunk DMA) is implemented and verified
+        # in interpreter mode.  r5 root-caused the TPU failure
+        # (benchmarks/probe_async_copy_r5.py: indexed make_async_copy
+        # itself compiles and runs fine now): Mosaic requires HBM memref
+        # slices to be 128-aligned on the LANE dim, and the stream layout
+        # puts CgP channels there — stream configs exist precisely
+        # because Cg is small (< 128), so every chunk slice trips
+        # "Slice shape along dimension 4 must be aligned to tiling (128),
+        # but is <CgP>".  A lane-padded layout would amplify the HBM
+        # traffic 128/CgP-fold on a path that is traffic-bound by
+        # definition; such configs are better served by the shift-blend
+        # lead-chunked mode or the XLA fallback.
+        return ("input plane exceeds VMEM residency budget (stream chunk "
+                "slices need 128 lane-aligned channels; Cg < 128 here)")
     return plan.ineligible_reason()
 
 

@@ -55,16 +55,17 @@ from ...utils.device import current_profile
 # _X_RESIDENT_BUDGET=48MB).
 _VMEM_LIMIT = None
 _X_RESIDENT_BUDGET = None
-# Max saved-residual bytes (HBM) for the masked-columns forward residual.
-# HBM-sized, not VMEM-sized: v5e carries 16GB, and skipping the residual
-# forces the rolled-loop backward to RECOMPUTE the columns - a full extra
-# forward sweep.  cfg4's lead-chunked plan (453MB/chunk) sat just over the
-# old 256MB cap, and its backward ran 4.0x the forward (suite r4:
-# 131.8ms fwd, 657ms fwd+bwd) where the sweep model says 2.25-3.25x; at
-# 2GB the residual is saved and only ~11ms of HBM traffic replaces the
-# ~130ms recompute (r5).  Lead-chunked calls keep nb chunk residuals live
-# at once (nb * cols_bytes HBM peak) - still far under HBM at this cap.
-_RESIDUAL_BUDGET = 2 * 1024 * 1024 * 1024
+# Max saved-residual bytes (HBM) for the masked-columns forward residual
+# — TOTAL across a lead-chunked call's nb chunks, whose residuals are all
+# live between the forward and backward passes.  HBM-sized, not
+# VMEM-sized: v5e carries 16GB, and skipping the residual forces the
+# rolled-loop backward to RECOMPUTE the columns - a full extra forward
+# sweep.  cfg4's lead-chunked plan (8 x 453MB) sat over the old 256MB
+# per-chunk cap, and its backward ran 4.0x the forward (suite r4:
+# 131.8ms fwd, 657ms fwd+bwd) where the sweep model says 2.25-3.25x; with
+# the residual saved, ~11ms of HBM traffic replaces the ~130ms recompute
+# (measured 657 -> 526ms, probe_cfg4_r5 r5).
+_RESIDUAL_BUDGET = 4 * 1024 * 1024 * 1024
 _BLK_OVERRIDE = 0                        # nonzero: force output-lane block
                                          # cap (utils/autotune.py knob)
 _PREROT_OVERRIDE = 0                     # 1 force on / -1 force off the
@@ -290,7 +291,12 @@ class SBPlan:
         # the raw offset/mask block since r4 (_build_cf) — no cf residual
         # or HBM round-trip exists anymore.
         cols_bytes = self.B * self.dg * self.PPAD * self.K * self.Cg * 2
-        self.save_cols = cols_bytes <= _RESIDUAL_BUDGET
+        # Lead-chunked calls keep every chunk's residual live between the
+        # forward and backward passes, so the HBM cap applies to the
+        # TOTAL nb * cols_bytes (nb recoverable from the global/local
+        # leading extents), not to one chunk.
+        nb = 1 if lead is None else max(1, int(lead[1]) // max(self.OS[0], 1))
+        self.save_cols = nb * cols_bytes <= _RESIDUAL_BUDGET
         if not self.save_cols and self.loopable:
             self.unrolled = False     # col recompute lives in the loop path
 

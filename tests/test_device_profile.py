@@ -63,12 +63,15 @@ def test_calibrate_derivation_and_profile_file(tmp_path, monkeypatch):
     from modulated_deform_conv_tpu import calibrate
     from modulated_deform_conv_tpu.utils import device
 
-    # identical rates to v5e -> identical constants
-    p = calibrate.derive("TPU vX", 197e12, 2.26e12, 128 * 1024 * 1024)
+    # identical rates to the script's own v5e reference -> identical
+    # constants
+    p = calibrate.derive("TPU vX", calibrate._V5E_MXU_FLOPS,
+                         calibrate._V5E_VPU_ELEMS, 128 * 1024 * 1024)
     assert p["sb_crossover_cg"] == 128
     assert p["lane_budget"] == 4608
     # 2x the MXU/VPU ratio -> crossover doubles (clamped multiple of 8)
-    p2 = calibrate.derive("TPU vY", 2 * 197e12, 2.26e12, 64 * 1024 * 1024)
+    p2 = calibrate.derive("TPU vY", 2 * calibrate._V5E_MXU_FLOPS,
+                          calibrate._V5E_VPU_ELEMS, 64 * 1024 * 1024)
     assert p2["sb_crossover_cg"] == 256
     assert p2["lane_budget"] == 4608 // 2
 
