@@ -57,6 +57,10 @@ def measure_amortized(step, args, iters, n_lo=2, n_hi=12):
     import jax
     import jax.numpy as jnp
 
+    import time as _time
+
+    import numpy as np
+
     def chain(n):
         @jax.jit
         def run(*a):
@@ -76,9 +80,22 @@ def measure_amortized(step, args, iters, n_lo=2, n_hi=12):
             return s
         return run
 
-    t_lo, _ = measure(chain(n_lo), args, iters)
-    t_hi, _ = measure(chain(n_hi), args, iters)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    # Interleave the lo/hi chain reps (lo hi lo hi ...) and difference the
+    # MINIMA: the tunnel drifts over multi-second windows, so timing all
+    # lo reps then all hi reps let a drift between the two phases bias
+    # the slope (r5; same estimator as utils/autotune._time_differenced).
+    lo, hi = chain(n_lo), chain(n_hi)
+    for f in (lo, hi):                       # compile + warm (forced)
+        float(np.asarray(f(*args)))
+    t_lo, t_hi = [], []
+    for _ in range(iters):
+        t0 = _time.perf_counter()
+        float(np.asarray(lo(*args)))
+        t_lo.append(_time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        float(np.asarray(hi(*args)))
+        t_hi.append(_time.perf_counter() - t0)
+    return max((min(t_hi) - min(t_lo)) / (n_hi - n_lo), 1e-9)
 
 
 # Pinned roofline denominators per device kind (public spec-sheet figures;

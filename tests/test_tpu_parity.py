@@ -5,7 +5,7 @@ kernel *logic*; this file validates the actual Mosaic lowering on real TPU
 hardware — forward and all five gradients, across 2D/3D, groups, dg,
 dilation, modulated/plain, and both Pallas kernels (structured-sparse
 gathermm and shift-blend).  Skipped off-TPU; the recorded run lives in
-benchmarks/tpu_parity_r04.txt.
+benchmarks/tpu_parity_r05.txt.
 
 Run directly on the chip:  python tests/test_tpu_parity.py
 """
