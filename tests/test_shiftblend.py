@@ -290,3 +290,38 @@ def test_per_axis_offset_bound():
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=3e-6, err_msg=name)
+
+
+def test_blk_exact_fit_selection():
+    """r5 block rule: the unrolled path picks the 128-multiple in
+    [256, 768] minimizing PPAD (pad lanes are pure sweep waste; cfg2's
+    P=3136 pads 14% at 512 but 2% at 640 - measured ~9% faster), ties
+    break toward 512."""
+    spec = DeformConvSpec.make(2, 3, 1, 1, 1, 1, 1, 64, modulated=True)
+    p = sb.SBPlan(spec, 1, 8, (56, 56), (56, 56), 2.0)   # P=3136
+    assert (p.BLK, p.PPAD, p.NT) == (640, 3200, 5)
+    p = sb.SBPlan(spec, 1, 8, (64, 64), (64, 64), 2.0)   # P=4096: tie->512
+    assert (p.BLK, p.PPAD) == (512, 4096)
+    p = sb.SBPlan(spec, 1, 8, (5, 5), (5, 5), 2.0)       # tiny P
+    assert p.BLK == 128
+
+
+def test_wrow_base_mapping_bijective():
+    """r5 packed expanded-row layout: every (axis, dy, tap) row maps to a
+    distinct flat row inside the (NWK, BLK) scratch, axis blocks are
+    8-aligned, and wrow_base agrees with row0k + dy*K."""
+    for nd, S in ((2, (8, 8)), (3, (4, 6, 8))):
+        spec = DeformConvSpec.make(nd, 3, 1, 1, 1, 1, 1, 64, modulated=True)
+        p = sb.SBPlan(spec, 1, 8, S, S, 1.5)
+        seen = set()
+        for d in range(nd):
+            assert p.row0k[d] % 8 == 0
+            for dy in range(p.W[d]):
+                base = p.wrow_base[p.row0[d] + dy]
+                assert base == p.row0k[d] + dy * p.K
+                for k in range(p.K):
+                    row = base + k
+                    assert 0 <= row < p.NWK
+                    assert row not in seen
+                    seen.add(row)
+        assert len(seen) == sum(p.W[d] for d in range(nd)) * p.K
